@@ -1,0 +1,1 @@
+"""oscar_spark — PySpark-native full-text index + BM25 engine (see SURVEY.md)."""

@@ -1,0 +1,112 @@
+"""Deterministic synthetic `pages` corpus (FIXTURES.md §1).
+
+Schema (exactly the BASELINE.json input_hint shape):
+    url:string  warc_ts:timestamp  html:binary  text:string  lang:string
+
+- Zipf-distributed vocabulary (p ∝ 1/(i+1), VOCAB_SIZE words) so head
+  terms appear in nearly every doc — exercising the salted two-phase
+  merge path the way city/country names do in oscar.
+- 1% of pages carry invalid UTF-8 bytes and unclosed tags (extractor
+  robustness; cf. UTF-8 validation at
+  reference/oscar-cmd/ConsistencyCheckers.cpp:259).
+- `text` is ground truth: extract_text(html) applied at generation time,
+  so the byte-identity invariant is testable end-to-end.
+
+Analogous in role to oscar's randomized workload generation
+(reference/oscar-cmd/CompletionStringCreators.cpp:17-46): deterministic,
+seeded, derived from the indexed content itself.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from oscar_spark.config import FIXTURE_SEED, VOCAB_SIZE
+from oscar_spark.functions.extract import extract_text
+
+# head of the vocabulary: real common words so queries read naturally;
+# tail: generated slugs.  Fixed list — part of the fixture contract.
+_COMMON = (
+    "the of and to in is was for on as with by at from that his it an were "
+    "are which this also be had or has its not but first one their after "
+    "who she all time two may been when year more over city state world war "
+    "house music area north south west east river county home history"
+).split()
+
+
+def vocabulary(size: int = VOCAB_SIZE) -> list[str]:
+    vocab = list(_COMMON)
+    i = 0
+    while len(vocab) < size:
+        vocab.append(f"wd{i:04d}")
+        i += 1
+    return vocab[:size]
+
+
+def _zipf_probs(size: int) -> np.ndarray:
+    p = 1.0 / (np.arange(size) + 1.0)
+    return p / p.sum()
+
+
+_EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
+                   n_sites: int = 50) -> pd.DataFrame:
+    """Deterministic pages table as a pandas DataFrame."""
+    rng = np.random.RandomState(seed)
+    vocab = np.array(vocabulary())
+    probs = _zipf_probs(len(vocab))
+
+    title_lens = rng.randint(2, 5, size=n_rows)
+    n_paras = rng.randint(1, 4, size=n_rows)
+    sites = rng.randint(0, n_sites, size=n_rows)
+    langs = rng.choice(["en", "de", "fr"], size=n_rows, p=[0.80, 0.15, 0.05])
+    corrupt = rng.rand(n_rows) < 0.01
+
+    rows = []
+    for i in range(n_rows):
+        title = " ".join(rng.choice(vocab, size=title_lens[i], p=probs))
+        paras = []
+        for _ in range(n_paras[i]):
+            k = rng.randint(20, 81)
+            paras.append(" ".join(rng.choice(vocab, size=k, p=probs)))
+        body = "".join(f"<p>{p}</p>" for p in paras)
+        html = (
+            f"<html><head><title>{title}</title>"
+            f"<style>body {{margin: 0}}</style></head>"
+            f"<body><h1>{title}</h1>{body}"
+            f"<script>var x = 1 &amp;&amp; 2;</script>"
+            f"</body></html>"
+        ).encode("utf-8")
+        if corrupt[i]:
+            # invalid UTF-8 + unclosed tag, per FIXTURES.md §1
+            html = html.replace(b"</body></html>", b"<div class=\xff\xfe>tail text")
+        url = f"https://site{sites[i]:04d}.example/p{i:08d}"
+        rows.append((
+            url,
+            _EPOCH + dt.timedelta(seconds=int(i) * 137),
+            html,
+            extract_text(html),
+            str(langs[i]),
+        ))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def pages_spark_df(spark, n_rows: int, seed: int = FIXTURE_SEED):
+    """pages fixture as a Spark DataFrame with the pinned schema."""
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ])
+    pdf = generate_pages(n_rows, seed=seed)
+    return spark.createDataFrame(pdf, schema=schema)

@@ -1,0 +1,77 @@
+"""Pure-Python reference engine — the rank-identity oracle.
+
+Plays the role oscar's dual-implementation checks play in the reference
+(cqr == tcqr asserted on every query,
+reference/oscar-cmd/Workfunctions.cpp:1169-1191; symmetric-diff between two
+completers, reference/oscar-cmd/LiveCompleter.cpp:116-130): an independent,
+trivially-auditable implementation whose top-k (doc ids AND scores) the
+Spark engine must reproduce exactly.
+
+Uses the SAME pinned tokenizer, parser and BM25 module as the Spark path —
+only the execution strategy differs (dict-of-dicts vs distributed index).
+"""
+
+from __future__ import annotations
+
+from oscar_spark.functions.bm25 import bm25
+from oscar_spark.functions.tokenize import tokenize
+from oscar_spark.serve import parser
+
+
+class OracleIndex:
+    """In-memory inverted index + BM25 scorer over (doc_id, text) pairs."""
+
+    def __init__(self, docs: list[tuple[int, str]]):
+        self.postings: dict[str, dict[int, int]] = {}
+        self.doc_len: dict[int, int] = {}
+        for doc_id, text in docs:
+            toks = tokenize(text)
+            self.doc_len[doc_id] = len(toks)
+            for t in toks:
+                self.postings.setdefault(t, {}).setdefault(doc_id, 0)
+                self.postings[t][doc_id] += 1
+        self.n_docs = len(self.doc_len)
+        total = sum(self.doc_len.values())
+        self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
+
+    # --- set algebra (mirrors DecelledACOT::execute set ops,
+    #     reference/oscar-cmd/DecelledACOT.cpp:73-98) ---
+    def eval_node(self, node) -> set[int]:
+        kind = node[0]
+        if kind == "empty":
+            return set()
+        if kind == "term":
+            return set(self.postings.get(node[1], {}))
+        left, right = self.eval_node(node[1]), self.eval_node(node[2])
+        if kind == "and":
+            return left & right
+        if kind == "or":
+            return left | right
+        if kind == "not":
+            return left - right
+        if kind == "xor":
+            return left ^ right
+        raise ValueError(f"unknown node {kind}")
+
+    # --- scoring ---
+    def score(self, doc_id: int, terms: list[str]) -> float:
+        """Σ over distinct query terms present in doc of BM25 (pinned rule)."""
+        s = 0.0
+        dl = self.doc_len[doc_id]
+        for t in terms:
+            tf = self.postings.get(t, {}).get(doc_id, 0)
+            if tf:
+                s += bm25(tf, dl, len(self.postings[t]), self.n_docs, self.avgdl)
+        return s
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), ties broken score DESC then doc_id ASC."""
+        node = parser.parse(query)
+        docs = self.eval_node(node)
+        terms = parser.query_terms(node)
+        scored = [(d, self.score(d, terms)) for d in docs]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))

@@ -1,0 +1,160 @@
+"""Query parser — the set-op algebra subset of oscar's AdvancedCellOpTree.
+
+Grammar (pinned; shared verbatim by oracle and Spark executor):
+    ops (binary, equal precedence, left-associative — matching the
+    reference's as-parsed execution order, no reordering; see
+    reference/oscar-cmd/DecelledACOT.cpp:73-98):
+        ' ' or '/'  intersection (default op between adjacent operands)
+        '+'         union
+        '-'         difference
+        '^'         symmetric difference
+    '(' ')'   grouping (unbalanced input tolerated: EOF closes, stray ')'
+              ends the innermost group)
+    '"..."'   quoted exact multi-token → intersection of its tokens
+              (we index no positions; documented deviation from phrase)
+    '\\'      escapes the next character into the current word (the
+              reference escape set is `-+/\\^$[]() `,
+              reference/oscar-cmd/CompletionStringCreators.cpp:6-15)
+
+Robustness contract (FIXTURES.md §3.2, analog of
+reference/data/tests/oscar-cmd/dont_crash_test.txt): parse() NEVER raises;
+degenerate input yields EMPTY.  An operator with a missing left operand
+gets EMPTY as its left side (EMPTY∩x=∅, EMPTY∪x=x, EMPTY−x=∅, EMPTY⊕x=x).
+
+AST nodes (plain tuples, consumable by both evaluators):
+    ("term", token)              ("empty",)
+    ("and"|"or"|"not"|"xor", left, right)
+"""
+
+from __future__ import annotations
+
+from oscar_spark.functions.tokenize import tokenize
+
+EMPTY = ("empty",)
+
+_OPS = {"+": "or", "-": "not", "^": "xor", "/": "and"}
+
+
+def _lex(query: str):
+    """→ list of ('op',kind) | ('lparen',) | ('rparen',) | ('word',text)."""
+    out = []
+    i, n = 0, len(query)
+    word: list[str] = []
+
+    def flush():
+        if word:
+            out.append(("word", "".join(word)))
+            word.clear()
+
+    while i < n:
+        c = query[i]
+        if c == "\\" and i + 1 < n:
+            word.append(query[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            flush()
+            j = query.find('"', i + 1)
+            if j == -1:  # unterminated quote: swallow to end
+                out.append(("quoted", query[i + 1:]))
+                i = n
+            else:
+                out.append(("quoted", query[i + 1:j]))
+                i = j + 1
+            continue
+        if c in _OPS and not (c == "-" and word):
+            # '-' inside a word (hyphen) stays in the word; the tokenizer
+            # splits it later, yielding an intersection of the parts.
+            flush()
+            out.append(("op", _OPS[c]))
+            i += 1
+            continue
+        if c == "(":
+            flush()
+            out.append(("lparen",))
+            i += 1
+            continue
+        if c == ")":
+            flush()
+            out.append(("rparen",))
+            i += 1
+            continue
+        if c.isspace():
+            flush()
+            i += 1
+            continue
+        word.append(c)
+        i += 1
+    flush()
+    return out
+
+
+def _terms_node(text: str):
+    """Text fragment → intersection of its normalized tokens (or EMPTY)."""
+    node = None
+    for tok in tokenize(text):
+        leaf = ("term", tok)
+        node = leaf if node is None else ("and", node, leaf)
+    return node if node is not None else EMPTY
+
+
+def _parse_tokens(toks, pos: int, depth: int):
+    node = None
+    pending: str | None = None
+
+    def attach(operand):
+        nonlocal node, pending
+        if node is None:
+            node = operand if pending is None else (pending, EMPTY, operand)
+        else:
+            node = (pending or "and", node, operand)
+        pending = None
+
+    while pos < len(toks):
+        t = toks[pos]
+        kind = t[0]
+        if kind == "word" or kind == "quoted":
+            sub = _terms_node(t[1])
+            if sub != EMPTY:
+                attach(sub)
+            pos += 1
+        elif kind == "op":
+            pending = t[1]
+            pos += 1
+        elif kind == "lparen":
+            sub, pos = _parse_tokens(toks, pos + 1, depth + 1)
+            if sub != EMPTY:
+                attach(sub)
+        else:  # rparen
+            pos += 1
+            if depth > 0:
+                break
+            # stray ')' at top level: ignore
+    return (node if node is not None else EMPTY), pos
+
+
+def parse(query: str):
+    """Query string → AST.  Never raises."""
+    try:
+        node, _ = _parse_tokens(_lex(query), 0, 0)
+        return node
+    except RecursionError:
+        return EMPTY
+
+
+def query_terms(node) -> list[str]:
+    """Distinct terms of an AST in first-appearance order (scoring set)."""
+    out: list[str] = []
+    seen = set()
+
+    def walk(n):
+        if n[0] == "term":
+            if n[1] not in seen:
+                seen.add(n[1])
+                out.append(n[1])
+        elif n[0] != "empty":
+            walk(n[1])
+            walk(n[2])
+
+    walk(node)
+    return out

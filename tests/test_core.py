@@ -1,0 +1,170 @@
+"""Pure-Python core tests: codec roundtrip, tokenizer parity, extractor,
+parser robustness, oracle sanity.  No Spark needed here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oscar_spark.functions.codec import (
+    decode_block, encode_block, varint_decode, varint_encode,
+)
+from oscar_spark.functions.extract import extract_series, extract_text
+from oscar_spark.functions.tokenize import tokenize, tokenize_series
+from oscar_spark.oracle.engine import OracleIndex
+from oscar_spark.serve import parser
+
+# ---------- codec (FIXTURES.md invariant 5) ----------
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+def test_varint_known_bytes():
+    # LEB128: 0→00, 127→7f, 128→80 01, 300→ac 02
+    assert varint_encode(np.array([0, 127, 128, 300], dtype=np.uint64)) == \
+        bytes([0x00, 0x7F, 0x80, 0x01, 0xAC, 0x02])
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=300, unique=True),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_block_roundtrip(ids, seed):
+    ids = sorted(ids)
+    rng = np.random.RandomState(seed)
+    tfs = rng.randint(1, 50, size=len(ids))
+    dls = rng.randint(1, 500, size=len(ids))
+    base = min(ids) - (min(ids) % 8192)
+    payload = encode_block(np.array(ids), tfs, dls, base)
+    d_ids, d_tfs, d_dls = decode_block(payload, len(ids), base)
+    assert list(d_ids) == ids
+    assert np.array_equal(d_tfs, tfs)
+    assert np.array_equal(d_dls, dls)
+
+
+def test_block_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_block(np.array([5, 5]), np.array([1, 1]), np.array([1, 1]), 0)
+
+
+# ---------- tokenizer (pure vs pandas parity) ----------
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_tokenize_parity(text):
+    pure = tokenize(text)
+    vec = tokenize_series(pd.Series([text])).iloc[0]
+    assert pure == vec
+
+
+def test_tokenize_rules():
+    assert tokenize("Héllo, Wörld! a ab") == ["hello", "world", "ab"]
+    assert tokenize("") == []
+    assert tokenize("  ...  ") == []
+    assert tokenize("foo-bar baz_qux") == ["foo", "bar", "baz", "qux"]
+
+
+# ---------- extractor (FIXTURES.md invariant 4) ----------
+
+def test_extract_basic():
+    html = (b"<html><head><title>T one</title><style>x{}</style></head>"
+            b"<body><h1>T one</h1><p>a &amp; b</p>"
+            b"<script>var x=1;</script></body></html>")
+    assert extract_text(html) == "T one T one a & b"
+
+
+def test_extract_invalid_utf8_and_unclosed():
+    html = b"<p>ok</p><div class=\xff\xfe>tail text"
+    out = extract_text(html)
+    assert "ok" in out and "tail text" in out
+    out2 = extract_text(b"<p>x</p><script>never closed")
+    assert out2 == "x"
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_extract_never_raises_and_parity(data):
+    out = extract_text(data)
+    assert isinstance(out, str)
+    assert extract_series(pd.Series([data])).iloc[0] == out
+
+
+# ---------- parser (FIXTURES.md §3.2 dont-crash corpus) ----------
+
+DONT_CRASH = [
+    "((foo (( bar))",
+    "+-(%foo - %+bar)",
+    "()",
+    "foo + () bar",
+    "bar () foo",
+    "-foo",
+    "foo ^",
+    '"unterminated',
+    "", "   ", ")))(((", "\\", '""', "a" * 10000,
+]
+
+
+@pytest.mark.parametrize("q", DONT_CRASH)
+def test_parser_never_crashes(q):
+    node = parser.parse(q)
+    assert isinstance(node, tuple)
+    OracleIndex([(0, "foo bar"), (1, "baz")]).eval_node(node)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_parser_fuzz(q):
+    node = parser.parse(q)
+    OracleIndex([(0, "foo bar")]).eval_node(node)
+
+
+def test_parser_shapes():
+    assert parser.parse("foo bar") == \
+        ("and", ("term", "foo"), ("term", "bar"))
+    assert parser.parse("foo + bar") == \
+        ("or", ("term", "foo"), ("term", "bar"))
+    assert parser.parse("foo - bar ^ baz") == \
+        ("xor", ("not", ("term", "foo"), ("term", "bar")), ("term", "baz"))
+    assert parser.parse('"aa bb"') == parser.parse("aa bb") == \
+        parser.parse("aa-bb") == ("and", ("term", "aa"), ("term", "bb"))
+    assert parser.parse("-foo") == ("not", parser.EMPTY, ("term", "foo"))
+
+
+# ---------- oracle engine sanity ----------
+
+@pytest.fixture(scope="module")
+def idx():
+    docs = [
+        (0, "the quick brown fox"),
+        (1, "the lazy dog sleeps"),
+        (2, "quick dog runs fast"),
+        (3, "fox and dog and fox"),
+    ]
+    return OracleIndex(docs)
+
+
+def test_oracle_set_ops(idx):
+    assert idx.eval_node(parser.parse("quick dog")) == {2}
+    assert idx.eval_node(parser.parse("quick + dog")) == {0, 1, 2, 3}
+    assert idx.eval_node(parser.parse("dog - quick")) == {1, 3}
+    assert idx.eval_node(parser.parse("quick ^ dog")) == {0, 1, 3}
+    assert idx.eval_node(parser.parse("missing")) == set()
+
+
+def test_oracle_ranking(idx):
+    res = idx.search("fox", k=10)
+    assert [d for d, _ in res] == [3, 0]  # tf=2 beats tf=1
+    assert res[0][1] > res[1][1] > 0
+    # ties broken by doc_id asc
+    res2 = idx.search("the", k=10)
+    assert [d for d, _ in res2] == [0, 1]
+    assert res2[0][1] == pytest.approx(res2[1][1])
