@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes every driver-checkable operator from SURVEY.md §2 plus
+the training-data pipeline operators (dedup / similarity / text analysis)
+over the driver's testdata tables; oracle_sql() holds the exact DuckDB
+equivalents.  The indexed build/serve engine itself (posting blocks,
+block-max pruning, resume) is exercised by `python -m pytest -x -q` and
+bench.py — its result values are cross-checked here through the
+decelled-style declarative fulltext queries (same pinned tokenizer+BM25).
 """
 
 from __future__ import annotations
@@ -13,26 +15,101 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from oscar_spark.operators import dedup, relational, similarity, textstats
+from oscar_spark.operators import fulltext_sql as fts
+
+SF1 = "/root/testdata/sf0.001"
+
+BM25_AND_TERMS = ["data", "spark"]
+BM25_OR_TERMS = ["vector", "stream"]
+SET_A, SET_B = "window", "batch"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 AND query over sf0.001 documents."""
+    return fts.bm25_topk(spark, SF1, BM25_AND_TERMS, k=10, require_all=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- fulltext (SURVEY §2.4 A1, §2.5 O1/O4, §2.6 set ops, §3.2) ---
+        "fts_term_df": fts.term_df,
+        "fts_doc_stats": fts.doc_stats,
+        "fts_bm25_and": lambda s, d: fts.bm25_topk(
+            s, d, BM25_AND_TERMS, k=10, require_all=True),
+        "fts_bm25_or": lambda s, d: fts.bm25_topk(
+            s, d, BM25_OR_TERMS, k=10, require_all=False),
+        "fts_set_and": lambda s, d: fts.set_op(s, d, SET_A, SET_B, "and"),
+        "fts_set_or": lambda s, d: fts.set_op(s, d, SET_A, SET_B, "or"),
+        "fts_set_not": lambda s, d: fts.set_op(s, d, SET_A, SET_B, "not"),
+        "fts_set_xor": lambda s, d: fts.set_op(s, d, SET_A, SET_B, "xor"),
+        "fts_prefix": lambda s, d: fts.prefix_search(s, d, "qu"),
+        # --- dedup suite ---
+        "dedup_exact": dedup.exact_duplicates,
+        "dedup_minhash_sigs": dedup.minhash_signatures,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            s, d, threshold=0.8),
+        "dedup_simhash": dedup.simhash,
+        # --- similarity search ---
+        "sim_cosine_topk": lambda s, d: similarity.cosine_topk(s, d, 0, 10),
+        "sim_ann_lsh": lambda s, d: similarity.ann_lsh_topk(s, d, 0, 10),
+        "sim_label_centroids": similarity.label_centroids,
+        # --- text analysis ---
+        "text_lang_id": textstats.lang_id,
+        "text_quality": textstats.quality_score,
+        "text_token_counts": textstats.token_counts,
+        "text_fingerprints": textstats.fingerprints,
+        "text_lang_dist": textstats.lang_distribution,
+        "text_source_topk": lambda s, d: textstats.source_topk(s, d, 5),
+        # --- relational inventory (SURVEY §2.1-2.6 on TPC-H-ish tables) ---
+        "rel_scan_minmax": relational.scan_minmax,
+        "rel_filtered_projection": relational.filtered_projection,
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_score_max": relational.score_max,
+        "rel_revenue_by_nation": relational.revenue_by_nation,
+        "rel_orders_customer_join": relational.orders_customer_join,
+        "rel_ranked_parts": lambda s, d: relational.ranked_parts(s, d, 100),
+        "rel_top_revenue_orders": lambda s, d: relational.top_revenue_orders(
+            s, d, 20),
+        "rel_customer_set_ops": relational.customer_set_ops,
+        "rel_order_stats": relational.order_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fts_term_df": fts.TERM_DF_SQL,
+        "fts_doc_stats": fts.DOC_STATS_SQL,
+        "fts_bm25_and": fts.bm25_topk_sql(BM25_AND_TERMS, 10, True),
+        "fts_bm25_or": fts.bm25_topk_sql(BM25_OR_TERMS, 10, False),
+        "fts_set_and": fts.set_op_sql(SET_A, SET_B, "and"),
+        "fts_set_or": fts.set_op_sql(SET_A, SET_B, "or"),
+        "fts_set_not": fts.set_op_sql(SET_A, SET_B, "not"),
+        "fts_set_xor": fts.set_op_sql(SET_A, SET_B, "xor"),
+        "fts_prefix": fts.prefix_search_sql("qu"),
+        "dedup_exact": dedup.EXACT_DUP_SQL,
+        "dedup_minhash_sigs": dedup.MINHASH_SQL,
+        "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(0.8),
+        "dedup_simhash": dedup.simhash_sql(),
+        "sim_cosine_topk": similarity.cosine_topk_sql(0, 10),
+        "sim_ann_lsh": similarity.ann_lsh_topk_sql(0, 10),
+        "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "text_lang_id": textstats.LANG_ID_SQL,
+        "text_quality": textstats.QUALITY_SQL,
+        "text_token_counts": textstats.TOKEN_COUNTS_SQL,
+        "text_fingerprints": textstats.FINGERPRINTS_SQL,
+        "text_lang_dist": textstats.LANG_DIST_SQL,
+        "text_source_topk": textstats.source_topk_sql(5),
+        "rel_scan_minmax": relational.SCAN_MINMAX_SQL,
+        "rel_filtered_projection": relational.FILTERED_PROJECTION_SQL,
+        "rel_pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "rel_score_max": relational.SCORE_MAX_SQL,
+        "rel_revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
+        "rel_orders_customer_join": relational.ORDERS_CUSTOMER_JOIN_SQL,
+        "rel_ranked_parts": relational.ranked_parts_sql(100),
+        "rel_top_revenue_orders": relational.top_revenue_orders_sql(20),
+        "rel_customer_set_ops": relational.CUSTOMER_SET_OPS_SQL,
+        "rel_order_stats": relational.ORDER_STATS_SQL,
+    }

@@ -1,0 +1,96 @@
+"""Benchmark runner (driver contract: ONE JSON line on stdout).
+
+Shaped like the reference's harness (reference/oscar-cmd/Benchmark.cpp:
+per-query timings + summary; build timed separately like
+reference/scripts/bench.sh): times the headline catalog queries at
+$SPARK_GRAFT_SF_DIR plus the real engine path — index build over the
+deterministic pages fixture and block-max-pruned BM25 top-k serve.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  BENCH_PAGES         (default 20000)  pages-fixture size for build/serve
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from oscar_spark.session import get_spark
+    spark = get_spark(app="oscar-spark-bench", cores=cpus,
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    headline = [
+        "fts_term_df", "fts_bm25_and", "fts_bm25_or", "fts_doc_stats",
+        "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
+        "text_quality", "rel_pricing_summary", "rel_revenue_by_nation",
+        "rel_ranked_parts",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # --- the real engine: build + pruned serve over the pages fixture ---
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import pages_spark_df
+    from oscar_spark.serve.executor import SearchEngine
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        pages = pages_spark_df(spark, n_pages).repartition(cpus).cache()
+        pages.count()
+        timings["pages_gen"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        res = build_index(spark, pages, d)
+        timings["index_build"] = round(time.time() - t0, 3)
+        print(f"# index_build: {timings['index_build']}s "
+              f"({res.n_docs} docs, {res.docs_per_sec:.0f} docs/s)",
+              file=sys.stderr)
+
+        eng = SearchEngine(spark, d)
+        serve_queries = ["the", "city + state", "war history world",
+                         "house + music + river", "wd0042"]
+        t0 = time.time()
+        for q in serve_queries:
+            eng.search(q, k=10)
+        timings["serve_topk_5q"] = round(time.time() - t0, 3)
+        timings["build_docs_per_sec"] = round(res.docs_per_sec, 1)
+
+    total = round(sum(v for k, v in timings.items()
+                      if k != "build_docs_per_sec"), 3)
+    print(json.dumps({
+        "metric": "headline_queries_plus_index_build_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_pages": n_pages,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,261 @@
+"""Index build pipeline — the Spark re-expression of oscar-create.
+
+Reference pipeline being re-expressed (not ported):
+`OsmKeyValueObjectStore::populate` → score-sort docID assignment
+(reference/oscar-create/OsmKeyValueObjectStore.cpp:1190-1214,1339-1399)
+→ CellTextCompleter 5-pass in-memory / OOM external-sort index build
+(reference/oscar-create/CellTextCompleter.h:774-1113,
+reference/oscar-create/readwritefuncs.cpp:340-394).
+
+Spark plan (one declarative DAG; Catalyst handles what oscar hand-built):
+
+    pages ──mapInPandas (tokenize+tf, map-side combine)──▶ (url, term, tf, dl)
+      │                                                     │
+      └─▶ doc_stats: quality sort → row_number → doc_id ◀──join(url)
+                                                            │
+    terms: groupBy(term).count() = df     N, avgdl (2 scalar aggs)
+                                                            │
+    score = BM25 per (term, doc) — F.expr, whole-stage codegen, no UDF
+                                                            │
+    groupBy(term, range_id).applyInPandas(encode) ──▶ posting blocks
+        range_id = doc_id // RANGE_SIZE  ◀── the salt: EVERY group is
+        bounded by RANGE_SIZE docs, so head terms (df ≈ N) are split
+        into N/RANGE_SIZE bounded groups instead of one giant reducer —
+        the mandated two-phase skew strategy.  Phase 2 (merge partial
+        runs into globally-numbered blocks) is the block_id window.
+                                                            │
+    write doc_stats / terms / postings (+ lineage, manifest commits)
+
+Scale notes (100 TB / 10^12 docs):
+- The only global ordering is docID assignment.  Here (test scale) it is
+  a row_number window over (quality DESC, url ASC).  At 10^12 docs the
+  documented strategy is per-partition contiguous ranges from a committed
+  partition manifest (sort partitions by range, assign base offsets from
+  partition counts — same determinism, no single-partition window);
+  see docids.assign_doc_ids for the seam.
+- tf aggregation happens INSIDE the tokenize UDF (pandas value_counts per
+  doc), so the big shuffle moves (term, doc, tf) rows, not raw tokens —
+  the map-side-combine analog of oscar's per-thread MatchDesc hash
+  (reference/oscar-create/CellTextCompleter.h:167-199).
+- encode groups are (term, range_id): bounded memory regardless of term
+  skew; blocks within a group are ≤ BLOCK_SIZE docs.
+- All UDFs are Arrow-vectorized (mapInPandas/applyInPandas); the BM25
+  expression and every join/agg stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oscar_spark.config import BLOCK_SIZE, NUM_TERM_BUCKETS, RANGE_SIZE
+from oscar_spark.functions.bm25 import bm25_sql
+from oscar_spark.functions.codec import encode_block
+from oscar_spark.functions.extract import extract_series
+from oscar_spark.functions.tokenize import tokenize_series
+from oscar_spark.sources.tables import IndexStore
+
+TOKENS_SCHEMA = "url string, term string, tf int, dl int"
+BLOCKS_SCHEMA = (
+    "term string, range_id long, first_doc long, last_doc long, "
+    "doc_count int, max_tf int, max_score double, payload binary"
+)
+
+
+def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, text) batches → (url, term, tf, dl) with per-doc tf combine."""
+    for pdf in batches:
+        toks = tokenize_series(pdf["text"])
+        dls = toks.map(len)
+        urls, terms, tfs, dl_out = [], [], [], []
+        for url, tok_list, dl in zip(pdf["url"], toks, dls):
+            if not tok_list:
+                # keep empty docs visible (term NULL) so doc_stats/N/avgdl
+                # count them — matching the oracle's semantics
+                urls.append(url); terms.append(None)
+                tfs.append(0); dl_out.append(0)
+                continue
+            vc = pd.Series(tok_list).value_counts()
+            n = len(vc)
+            urls.extend([url] * n)
+            terms.extend(vc.index.tolist())
+            tfs.extend(vc.values.tolist())
+            dl_out.extend([dl] * n)
+        yield pd.DataFrame({
+            "url": urls, "term": terms,
+            "tf": pd.array(tfs, dtype="int32"),
+            "dl": pd.array(dl_out, dtype="int32"),
+        })
+
+
+def _encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (term, range_id) group → posting blocks (sorted, delta+varint).
+
+    Mirrors the per-cell sort + strict-monotone invariant of
+    reference/oscar-create/CellTextCompleter.cpp:139-155 (makeConsistent).
+    """
+    term, range_id = key
+    pdf = pdf.sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    scores = pdf["score"].to_numpy(dtype=np.float64)
+    base = int(range_id) * RANGE_SIZE
+    rows = []
+    for s in range(0, len(ids), BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, len(ids))
+        rows.append((
+            term, int(range_id), int(ids[s]), int(ids[e - 1]), e - s,
+            int(tfs[s:e].max()), float(scores[s:e].max()),
+            encode_block(ids[s:e], tfs[s:e], dls[s:e], base),
+        ))
+    return pd.DataFrame(rows, columns=[
+        "term", "range_id", "first_doc", "last_doc", "doc_count",
+        "max_tf", "max_score", "payload"])
+
+
+@dataclass
+class BuildResult:
+    n_docs: int
+    avgdl: float
+    n_terms: int
+    n_blocks: int
+    docs_per_sec: float
+    elapsed_sec: float
+    resumed_stages: list[str]
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """html → text via the pinned extractor (vectorized); byte-identity
+    with an existing `text` column is a test invariant, not assumed."""
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["url", "warc_ts", "html", "lang"]].copy()
+            out["text"] = extract_series(pdf["html"])
+            yield out
+    return pages.mapInPandas(
+        _extract, "url string, warc_ts timestamp, html binary, lang string, text string")
+
+
+def input_fingerprint(pages: DataFrame) -> str:
+    """Cheap deterministic fingerprint of the input table (resume gate)."""
+    row = pages.select(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.col("url"))).alias("u"),
+        F.sum(F.length(F.col("text"))).alias("t"),
+    ).collect()[0]
+    return f"n{row['n']}-u{row['u']}-t{row['t']}"
+
+
+def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
+                resume: bool = False) -> BuildResult:
+    """Build the full index (doc_stats, terms, postings, lineage)."""
+    t0 = time.time()
+    store = IndexStore(index_dir)
+    fp = input_fingerprint(pages)
+    resumed: list[str] = []
+
+    tokens = None  # (url, term, tf, dl), lazily defined
+
+    def make_tokens() -> DataFrame:
+        return pages.select("url", "text").mapInPandas(
+            _tokenize_batches, TOKENS_SCHEMA)
+
+    # ---- stage 1: doc_stats (docID = rank by static quality; analog of
+    # applySort score ordering, OsmKeyValueObjectStore.cpp:1339-1399) ----
+    if resume and store.committed("doc_stats", fp):
+        resumed.append("doc_stats")
+    else:
+        tokens = make_tokens()
+        doc_lens = tokens.groupBy("url").agg(
+            F.first("dl").alias("doc_len"))
+        # quality := doc_len (pinned static score for the fixture corpus)
+        w = Window.orderBy(F.desc("quality"), F.asc("url"))
+        doc_stats = (
+            doc_lens
+            .withColumn("quality", F.col("doc_len").cast("double"))
+            .withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+            .select("doc_id", "url", "doc_len", "quality")
+        )
+        store.write(doc_stats, "doc_stats")
+        store.commit("doc_stats", fp)
+    doc_stats = store.read(spark, "doc_stats")
+    n_docs, avgdl = doc_stats.select(
+        F.count("*"), F.avg("doc_len")).collect()[0]
+    n_docs, avgdl = int(n_docs), float(avgdl)
+
+    # ---- stage 2: postings ----
+    if resume and store.committed("postings", fp):
+        resumed.append("postings")
+    else:
+        if tokens is None:
+            tokens = make_tokens()
+        postings_raw = tokens.filter(F.col("term").isNotNull()).join(
+            doc_stats.select("url", "doc_id"), "url")
+        dfs = postings_raw.groupBy("term").agg(F.count("*").alias("df"))
+        scored = (
+            postings_raw.join(dfs, "term")
+            .withColumn("score", F.expr(bm25_sql(
+                "tf", "dl", "df", str(float(n_docs)), repr(avgdl))))
+            .withColumn("range_id",
+                        (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
+        )
+        blocks = scored.groupBy("term", "range_id").applyInPandas(
+            _encode_group, BLOCKS_SCHEMA)
+        # phase-2 merge: global block numbering per term (blocks table is
+        # ~df/BLOCK_SIZE rows — tiny next to postings; cheap window)
+        bw = Window.partitionBy("term").orderBy("first_doc")
+        final_blocks = (
+            blocks.withColumn("block_id", F.row_number().over(bw) - 1)
+            .withColumn("bucket", F.pmod(F.hash("term"),
+                                         F.lit(NUM_TERM_BUCKETS)))
+            .select("bucket", "term", "block_id", "range_id", "first_doc",
+                    "last_doc", "doc_count", "max_tf", "max_score", "payload")
+        )
+        store.write(final_blocks, "postings", partition_by=["bucket"])
+        store.commit("postings", fp)
+    postings = store.read(spark, "postings")
+
+    # ---- stage 3: terms (df recomputed from committed postings so the
+    # stored df provably equals the posting contents — FIXTURES.md inv 2) ----
+    if resume and store.committed("terms", fp):
+        resumed.append("terms")
+    else:
+        terms = (
+            postings.groupBy("bucket", "term")
+            .agg(F.sum("doc_count").cast("long").alias("df"))
+        )
+        store.write(terms, "terms", partition_by=["bucket"])
+        store.commit("terms", fp)
+    terms = store.read(spark, "terms")
+
+    n_terms = terms.count()
+    n_blocks = postings.count()
+    elapsed = time.time() - t0
+    dps = n_docs / elapsed if elapsed > 0 else 0.0
+
+    # ---- lineage (per index bucket; BASELINE.json per-partition lineage) ----
+    sid = store.snapshot_id("postings") or 0
+    lineage = (
+        postings.groupBy("bucket").agg(
+            F.sum("doc_count").alias("rows_in"),
+            F.countDistinct("term").alias("terms_out"))
+        .withColumn("partition_id", F.col("bucket").cast("int"))
+        .withColumn("input_fingerprint", F.lit(fp))
+        .withColumn("docs_per_sec", F.lit(float(dps)))
+        .withColumn("snapshot_id", F.lit(int(sid)).cast("long"))
+        .withColumn("ts", F.current_timestamp())
+        .select("partition_id", "input_fingerprint", "rows_in",
+                "terms_out", "docs_per_sec", "snapshot_id", "ts")
+    )
+    store.write(lineage, "lineage")
+
+    return BuildResult(n_docs=n_docs, avgdl=avgdl, n_terms=n_terms,
+                       n_blocks=int(n_blocks), docs_per_sec=dps,
+                       elapsed_sec=elapsed, resumed_stages=resumed)

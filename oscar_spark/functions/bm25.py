@@ -44,9 +44,14 @@ def bm25_sql(tf: str, dl: str, df: str, n: str, avgdl: str) -> str:
     """The same formula as a SQL expression string (Spark SQL ∩ DuckDB).
 
     Used to generate BOTH sides of the driver's oracle comparison so the
-    arithmetic is literally the same text.
+    arithmetic is literally the same text.  Every operand is CAST to
+    DOUBLE because Spark SQL (and DuckDB) parse fractional literals as
+    DECIMAL, which silently degrades precision below rank-identity.
     """
-    k1, b = repr(BM25_K1), repr(BM25_B)
+    def d(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+    tf, dl, df, n, avgdl = d(tf), d(dl), d(df), d(n), d(avgdl)
+    k1, b = d(repr(BM25_K1)), d(repr(BM25_B))
     return (
         f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5)) * "
         f"({tf} * ({k1} + 1.0) / "

@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash — all over the
+driver's `documents` table.  Every hash used for cross-engine-checkable
+entries is md5 (identical in Spark `F.md5` and DuckDB `md5`), so each
+operator has an exact SQL oracle; SimHash needs bit arithmetic on hash
+prefixes, expressed with conv/hex in both engines.
+
+Scale notes: exact dedup is one shuffle on the digest; shingle self-joins
+are bounded by LSH banding (join key = (band, band-signature), so only
+near-duplicate candidates meet — the standard way this survives 10^12
+docs, vs the quadratic naive join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oscar_spark.operators.fulltext_sql import load_documents
+
+SHINGLE_N = 3
+MINHASH_PERMS = 8
+LSH_BANDS = 4  # rows per band = MINHASH_PERMS // LSH_BANDS = 2
+
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of byte-identical texts (doc count per digest, >1 only)."""
+    docs = load_documents(spark, sf_dir)
+    return (docs.groupBy(F.md5(F.col("text")).alias("digest"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("digest"))
+
+
+EXACT_DUP_SQL = (
+    "SELECT md5(text) AS digest, COUNT(*) AS n_docs, "
+    "MIN(doc_id) AS keeper FROM documents GROUP BY md5(text) "
+    "HAVING COUNT(*) > 1 ORDER BY digest")
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram shingles, whitespace split.
+
+    Split rule is plain single-space (matching DuckDB string_split) so
+    the oracle is exact; documents fixture text is single-spaced.
+    """
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_N)))
+    return (docs.filter(n >= SHINGLE_N)
+            .select("doc_id", F.explode(sh).alias("shingle"))
+            .distinct())
+
+
+# same shingling in DuckDB
+SHINGLE_CTE = (
+    "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+    "FROM documents WHERE length(string_split(lower(text), ' ')) >= 3), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle "
+    "FROM words, unnest(generate_series(1, length(w) - 2)) AS g(i))"
+)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ threshold (doc_a < doc_b)."""
+    sh = _shingles(load_documents(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (sh.alias("a").join(sh.alias("b"), "shingle")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("sz", "sz_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("sz", "sz_b"), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                                  - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+def ngram_jaccard_sql(threshold: float = 0.8) -> str:
+    return (SHINGLE_CTE + ", "
+            "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "COUNT(*) AS i FROM sh a JOIN sh b USING (shingle) "
+            "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / "
+            "(sa.sz + sb.sz - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            f"WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold} "
+            "ORDER BY doc_a, doc_b")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per doc: sig_p = min(md5(p || shingle)).
+
+    Seeded md5 makes the permutation family identical in both engines.
+    """
+    sh = _shingles(load_documents(spark, sf_dir))
+    aggs = [F.min(F.md5(F.concat(F.lit(str(p)), F.col("shingle"))))
+            .alias(f"sig{p}") for p in range(MINHASH_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+MINHASH_SQL = (
+    SHINGLE_CTE + " SELECT doc_id, " +
+    ", ".join(f"MIN(md5(concat('{p}', shingle))) AS sig{p}"
+              for p in range(MINHASH_PERMS)) +
+    " FROM sh GROUP BY doc_id ORDER BY doc_id")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band signature.
+
+    band b key = concat(sig[b*r] .. sig[b*r+r-1]); self-join per band —
+    at scale, the shuffle key is (band, key) so only colliding docs meet.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"sig{b * r + j}" for j in range(r)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat(*[F.col(c) for c in cols]).alias("key")))
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    pairs = (all_bands.alias("a")
+             .join(all_bands.alias("b"), ["band", "key"])
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct()
+             .orderBy("doc_a", "doc_b"))
+    return pairs
+
+
+def minhash_lsh_sql() -> str:
+    r = MINHASH_PERMS // LSH_BANDS
+    band_rows = []
+    for b in range(LSH_BANDS):
+        sigs = " || ".join(
+            f"MIN(md5(concat('{b * r + j}', shingle)))" for j in range(r))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {sigs} AS key "
+            "FROM sh GROUP BY doc_id")
+    bands = " UNION ALL ".join(band_rows)
+    return (SHINGLE_CTE + f", bands AS ({bands}) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b USING (band, key) "
+            "WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b")
+
+
+def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over token md5 prefixes (bits ≤ 16 for SQL parity).
+
+    bit_j(doc) = 1 if Σ_tokens (bit_j(md5(token)) ? +tf : -tf) > 0.
+    conv(hex,16,10) (Spark) / hex-cast (DuckDB) keep engines identical.
+    """
+    from oscar_spark.operators.fulltext_sql import tokens
+    t = tokens(load_documents(spark, sf_dir))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
+    withbits = tf.withColumn("h", h)
+    sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                     F.col("tf")).otherwise(-F.col("tf")))
+        .alias(f"b{j}") for j in range(bits)
+    ]
+    agg = withbits.groupBy("doc_id").agg(*sums)
+    sim = agg.select(
+        "doc_id",
+        sum((F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            for j in range(bits)).cast("long").alias("simhash"))
+    return sim.orderBy("doc_id")
+
+
+def simhash_sql(bits: int = 16) -> str:
+    from oscar_spark.operators.fulltext_sql import TOK_CTE
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN (h // {p}) % 2 = 1 THEN tf ELSE -tf END) AS b{j}"
+        .format(p=1 << j, j=j) for j in range(bits))
+    recompose = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return (
+        TOK_CTE + ", tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+        "GROUP BY doc_id, term), "
+        "hb AS (SELECT doc_id, tf, "
+        "CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) AS h FROM tf), "
+        f"agg AS (SELECT doc_id, {bit_sums} FROM hb GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM agg "
+        "ORDER BY doc_id")

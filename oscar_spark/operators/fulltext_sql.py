@@ -1,0 +1,186 @@
+"""Fulltext operators over the driver's `documents` table, expressed as
+pure DataFrame ops (whole-stage codegen, zero UDFs) with exact DuckDB-SQL
+oracle parity.
+
+These mirror the indexed engine's semantics (same pinned tokenizer rule &
+BM25 formula from oscar_spark.config / functions.bm25) but execute as
+declarative plans over the raw corpus — the "decelled" strategy of the
+reference (per-leaf sets flattened then combined,
+reference/oscar-cmd/DecelledACOT.cpp:22-99), whereas the indexed engine
+(build/indexer.py + serve/executor.py) is the GEOCELL strategy.  The
+pytest suite asserts the two agree; the driver's DuckDB oracle checks
+this module directly.
+
+NOTE on tokenizer: this SQL-parity tokenizer is lower+split only (no NFKD
+strip — not expressible identically in DuckDB); the documents fixture is
+ASCII so the rule coincides with the pinned tokenizer there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oscar_spark.config import (
+    BM25_B, BM25_K1, MIN_TOKEN_LEN, SCORE_ROUND, TOKEN_SPLIT_RE,
+)
+from oscar_spark.functions.bm25 import bm25_sql
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) one row per token occurrence — pure built-ins."""
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) >= MIN_TOKEN_LEN,
+    )
+    return docs.select("doc_id", F.explode(arr).alias("term"))
+
+
+# The exact-same tokenization as a DuckDB CTE (used by every oracle):
+TOK_CTE = (
+    "WITH tok AS (SELECT d.doc_id, t.term FROM documents d, "
+    "unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(term) "
+    f"WHERE length(t.term) >= {MIN_TOKEN_LEN})"
+)
+
+TF_CTE = (
+    TOK_CTE + ", tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+    "GROUP BY doc_id, term)"
+    ", dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)"
+    ", stats AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)"
+    " AS n, (SELECT SUM(dl) FROM dl) / "
+    "CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl)"
+    ", dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)"
+)
+
+
+def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → document frequency (the `terms` dictionary aggregation, A1)."""
+    return (tokens(load_documents(spark, sf_dir))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")))
+
+
+TERM_DF_SQL = (TOK_CTE + " SELECT term, COUNT(DISTINCT doc_id) AS df "
+               "FROM tok GROUP BY term ORDER BY df DESC, term")
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats incl. deterministic doc rank (O1 docID analog)."""
+    from pyspark.sql import Window
+    t = tokens(load_documents(spark, sf_dir))
+    agg = t.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        F.countDistinct("term").alias("n_terms"))
+    w = Window.orderBy(F.desc("dl"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("doc_id", "dl", "n_terms", "rank"))
+
+
+DOC_STATS_SQL = (
+    TOK_CTE + " SELECT doc_id, COUNT(*) AS dl, "
+    "COUNT(DISTINCT term) AS n_terms, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, doc_id ASC) AS BIGINT)"
+    " AS rank FROM tok GROUP BY doc_id")
+
+
+def _scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
+    """(doc_id, score per term present, n_match) for a list of terms."""
+    t = tokens(docs)
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = docs.count()
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # scalar subqueries via crossJoin of 1-row aggregates (declarative,
+    # broadcast by AQE)
+    stats = dl.agg((F.sum("dl") / F.lit(float(n))).alias("avgdl"))
+    scored = (
+        tf.filter(F.col("term").isin(query_terms))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfs.filter(F.col("term").isin(query_terms))), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.expr(bm25_sql(
+            "tf", "dl", "df", str(float(n)), "avgdl")))
+    )
+    return scored
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, query_terms: list[str],
+              k: int = 10, require_all: bool = True) -> DataFrame:
+    """Top-k BM25 (AND or OR over terms) — the flagship serve query."""
+    docs = load_documents(spark, sf_dir)
+    scored = _scores(docs, query_terms)
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("score"), SCORE_ROUND).alias("score"),
+        F.count("*").alias("n_match"))
+    if require_all:
+        agg = agg.filter(F.col("n_match") == len(query_terms))
+    return (agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def bm25_topk_sql(query_terms: list[str], k: int = 10,
+                  require_all: bool = True) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    having = f"HAVING COUNT(*) = {len(query_terms)}" if require_all else ""
+    score = bm25_sql("tf.tf", "dl.dl", "dfs.df", "stats.n", "stats.avgdl")
+    return (
+        TF_CTE +
+        f" SELECT tf.doc_id AS doc_id, ROUND(SUM({score}), {SCORE_ROUND})"
+        " AS score FROM tf JOIN dl USING (doc_id) JOIN dfs USING (term)"
+        f" CROSS JOIN stats WHERE tf.term IN ({terms})"
+        f" GROUP BY tf.doc_id {having}"
+        f" ORDER BY score DESC, doc_id ASC LIMIT {k}")
+
+
+def set_op(spark: SparkSession, sf_dir: str, term_a: str, term_b: str,
+           op: str) -> DataFrame:
+    """Doc-id set algebra between two terms (§2.6: + / ' ' / - / ^)."""
+    t = tokens(load_documents(spark, sf_dir)).distinct()
+    a = t.filter(F.col("term") == term_a).select("doc_id")
+    b = t.filter(F.col("term") == term_b).select("doc_id")
+    if op == "and":
+        out = a.join(b, "doc_id", "inner")
+    elif op == "or":
+        out = a.union(b).distinct()
+    elif op == "not":
+        out = a.join(b, "doc_id", "left_anti")
+    elif op == "xor":
+        l = a.withColumn("_l", F.lit(1))
+        r = b.withColumn("_r", F.lit(1))
+        out = (l.join(r, "doc_id", "full_outer")
+               .filter(F.col("_l").isNull() | F.col("_r").isNull()))
+    else:
+        raise ValueError(op)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def set_op_sql(term_a: str, term_b: str, op: str) -> str:
+    a = f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term_a}'"
+    b = f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term_b}'"
+    comb = {"and": "INTERSECT", "or": "UNION",
+            "not": "EXCEPT"}.get(op)
+    if comb is not None:
+        body = f"({a}) {comb} ({b})"
+    else:  # xor = union except intersect
+        body = (f"(({a}) UNION ({b})) EXCEPT (({a}) INTERSECT ({b}))")
+    return TOK_CTE + f" SELECT doc_id FROM ({body}) ORDER BY doc_id"
+
+
+def prefix_search(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """Prefix query = range scan on the sorted term dictionary (QT_PREFIX
+    analog — trie subtree merge becomes a LIKE range scan, SURVEY §1.2)."""
+    return (tokens(load_documents(spark, sf_dir))
+            .filter(F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy("term"))
+
+
+def prefix_search_sql(prefix: str) -> str:
+    return (TOK_CTE + " SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok"
+            f" WHERE term LIKE '{prefix}%' GROUP BY term ORDER BY term")

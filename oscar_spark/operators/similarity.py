@@ -1,0 +1,145 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding, label).
+
+- Brute-force cosine top-k: exact baseline, pure built-ins
+  (F.zip_with dot product + F.aggregate fold — JVM-side, no UDF).
+- LSH-bucketed ANN: deterministic signed-random-projection buckets as
+  the scale path — at 10^12 vectors the candidate set is one bucket
+  (+ optional neighbor probes) instead of the full table.
+
+Scale: brute force is a broadcast of ONE query vector over a scan —
+embarrassingly parallel, no shuffle; top-k is TakeOrdered.  LSH adds a
+groupBy(bucket) whose fan-in is controlled by the hyperplane count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cast float32 → double BEFORE any arithmetic (exact widening) so the
+    # Spark and DuckDB oracles do identical double-precision math
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .withColumn("embedding", F.col("embedding").cast("array<double>")))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+                k: int = 10) -> DataFrame:
+    """Exact cosine top-k neighbors of one vector (excluding itself)."""
+    emb = load_embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col("embedding").alias("qv"))
+    joined = emb.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("qv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("qv")))
+    return (joined.select("vec_id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    # same dot/norm formulation as the Spark plan (NOT
+    # list_cosine_similarity, whose internal order could differ)
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings), q AS (SELECT embedding AS qv FROM e "
+        f"WHERE vec_id = {query_vec_id}) "
+        "SELECT vec_id, ROUND("
+        "list_sum(list_transform(list_zip(embedding, qv), "
+        "x -> x[1] * x[2])) / "
+        "(sqrt(list_sum(list_transform(embedding, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine "
+        f"FROM e, q WHERE vec_id != {query_vec_id} "
+        f"ORDER BY cosine DESC, vec_id ASC LIMIT {k}")
+
+
+def _lsh_bucket(vec, n_planes: int, dim: int):
+    """Deterministic signed-random-projection bucket id (0..2^n_planes).
+
+    Hyperplane p has ±1 weights from a fixed pattern: sign_j = +1 iff
+    ((j * 2654435761 + p * 40503) mod 97) < 48 — a pinned pseudo-random
+    rule computable in both Spark and DuckDB SQL (no RNG state).
+    """
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        # array-literal signs + fold keeps the generated code tiny (an
+        # unrolled 64-term sum overflows Janino's 64 KB codegen limit and
+        # silently drops the plan to interpreted mode)
+        signs = F.array(*[
+            F.lit(1.0 if ((j * 2654435761 + p * 40503) % 97) < 48 else -1.0)
+            for j in range(dim)])
+        proj = _dot(vec, signs)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+                 k: int = 10, n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """ANN: search only the query's LSH bucket, then exact cosine in it."""
+    emb = load_embeddings(spark, sf_dir) \
+        .withColumn("bucket", _lsh_bucket(F.col("embedding"), n_planes, dim))
+    qrow = emb.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding", "bucket").collect()[0]
+    qb = qrow["bucket"]
+    q = spark.createDataFrame([(qrow["embedding"],)], "qv array<double>")
+    cand = emb.filter((F.col("bucket") == qb)
+                      & (F.col("vec_id") != query_vec_id))
+    cos = _dot(F.col("embedding"), F.col("qv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("qv")))
+    return (cand.crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+    parts = []
+    for p in range(n_planes):
+        signs = ", ".join(
+            f"{1 if ((j * 2654435761 + p * 40503) % 97) < 48 else -1}.0"
+            for j in range(dim))
+        proj = (f"list_sum(list_transform(list_zip({vec}, [{signs}]), "
+                "x -> x[1] * x[2]))")
+        parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def ann_lsh_topk_sql(query_vec_id: int = 0, k: int = 10,
+                     n_planes: int = 4, dim: int = 64) -> str:
+    b = _lsh_bucket_sql("embedding", n_planes, dim)
+    return (
+        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding "
+        "FROM embeddings), "
+        f"be AS (SELECT vec_id, embedding, {b} AS bucket FROM e), "
+        f"q AS (SELECT embedding AS qv, bucket AS qb FROM be "
+        f"WHERE vec_id = {query_vec_id}) "
+        "SELECT vec_id, ROUND("
+        "list_sum(list_transform(list_zip(embedding, qv), x -> x[1] * x[2]))"
+        " / (sqrt(list_sum(list_transform(embedding, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine "
+        "FROM be, q WHERE be.bucket = q.qb AND "
+        f"vec_id != {query_vec_id} "
+        f"ORDER BY cosine DESC, vec_id ASC LIMIT {k}")
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding norm + count per label (vector agg sanity query)."""
+    emb = load_embeddings(spark, sf_dir)
+    return (emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("nrm"), 6).alias("avg_norm"))
+            .orderBy("label"))
+
+
+LABEL_CENTROIDS_SQL = (
+    "SELECT label, COUNT(*) AS n, "
+    "ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 6) "
+    "AS avg_norm FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings) GROUP BY label ORDER BY label")

@@ -1,0 +1,285 @@
+"""Serve path: query → top-k (doc_id, BM25 score) over the posting index.
+
+Reference lifecycle being re-expressed (reference/oscar-cmd/LiveCompleter.cpp:170-227):
+parse → per-leaf trie lookup → lazy cell-wise set ops (CellQueryResult)
+→ flatten → first-k in docID-rank order.  Our translation:
+
+parse (shared parser) → broadcast-of-query-terms lookup in `terms`
+(bucket partition-pruned) → per-term block fetch from `postings`
+(term + bucket filters pushed to parquet; metadata phase reads ONLY the
+metadata columns, so the scan never touches the payload bytes — column
+pruning is our analog of oscar reading trie payload pointers without
+loading ItemIndex data) → two execution strategies:
+
+- brute: decode every matching block, score, set-algebra on DataFrames,
+  global TakeOrdered(k).  The dual-path partner (analog of the cqr==tcqr
+  assert at reference/oscar-cmd/Workfunctions.cpp:1169-1191).
+
+- pruned ("block-max WAND at range granularity", default for
+  single/AND/OR queries): ranges are oscar's cells; per-(term,range)
+  block metadata carries max_score (the block-max).
+    phase A: rank candidate ranges by Σ_term max_score upper bound
+             (metadata-only job), exactly score the top seed ranges,
+             θ := k-th best seed score — a valid final-threshold lower
+             bound because seed docs are a subset of all docs.
+    phase B: decode+score ONLY ranges with ub ≥ θ (strict < pruned),
+             union seeds, global top-k.
+  AND queries additionally keep only ranges containing ALL terms before
+  ranking (the intersection-on-block-ids fast path, mirroring oscar's
+  cell-wise set ops with fm/pm refinement, SURVEY.md §2.6).
+
+Everything is DataFrame + Arrow kernels; per-range scoring is a
+vectorized numpy applyInPandas (decode → bm25_np → segment-sum), with a
+local per-range top-k cut so the final shuffle moves ≤ k rows per range.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oscar_spark.config import NUM_TERM_BUCKETS, RANGE_SIZE
+from oscar_spark.functions.bm25 import bm25_np
+from oscar_spark.functions.codec import decode_block
+from oscar_spark.serve import parser
+from oscar_spark.sources.tables import IndexStore
+
+_META_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
+              "last_doc", "doc_count", "max_tf", "max_score"]
+
+
+def _tree_shape(node) -> str:
+    """'single' | 'and' | 'or' | 'general' — which strategies apply."""
+    kind = node[0]
+    if kind == "term":
+        return "single"
+    if kind == "empty":
+        return "empty"
+    if kind in ("and", "or"):
+        l, r = _tree_shape(node[1]), _tree_shape(node[2])
+        ok = {kind, "single"}
+        if l in ok and r in ok:
+            return kind
+    return "general"
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.store = IndexStore(index_dir)
+        self.postings = self.store.read(spark, "postings")
+        self.terms = self.store.read(spark, "terms")
+        self.doc_stats = self.store.read(spark, "doc_stats")
+        row = self.doc_stats.select(
+            F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+        self.n_docs = int(row["n"])
+        self.avgdl = float(row["a"]) if row["a"] is not None else 0.0
+
+    # ---- term lookup (J5: broadcast-of-query-terms) ----
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        buckets = sorted({_bucket_of(t) for t in terms})
+        rows = (self.terms
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(terms))
+                .select("term", "df").collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _blocks(self, terms: list[str], meta_only: bool) -> DataFrame:
+        buckets = sorted({_bucket_of(t) for t in terms})
+        df = (self.postings
+              .filter(F.col("bucket").isin(buckets))
+              .filter(F.col("term").isin(terms)))
+        return df.select(*_META_COLS) if meta_only else df
+
+    # ---- shared scoring kernel ----
+    def _score_ranges(self, blocks: DataFrame, dfmap: dict[str, int],
+                      require_all: int | None, local_k: int | None) -> DataFrame:
+        """blocks (with payload) → (doc_id, score[, n_terms]) per range.
+
+        require_all=n keeps docs matched by all n terms (AND); local_k
+        cuts each range's output to its top-k by (score desc, doc asc).
+        """
+        n_docs, avgdl = float(self.n_docs), float(self.avgdl)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            all_ids, all_scores = [], []
+            for term, payload, doc_count, range_id in zip(
+                    pdf["term"], pdf["payload"], pdf["doc_count"],
+                    pdf["range_id"]):
+                ids, tfs, dls = decode_block(
+                    bytes(payload), int(doc_count), int(range_id) * RANGE_SIZE)
+                df_t = float(dfmap.get(term, 0))
+                if df_t <= 0:
+                    continue
+                all_ids.append(ids)
+                all_scores.append(bm25_np(
+                    tfs.astype(np.float64), dls.astype(np.float64),
+                    df_t, n_docs, avgdl))
+            if not all_ids:
+                return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                     "score": pd.array([], dtype="float64")})
+            ids = np.concatenate(all_ids)
+            scores = np.concatenate(all_scores)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            ssum = np.zeros(len(uniq))
+            np.add.at(ssum, inv, scores)
+            if require_all is not None:
+                cnt = np.bincount(inv, minlength=len(uniq))
+                keep = cnt == require_all
+                uniq, ssum = uniq[keep], ssum[keep]
+            if local_k is not None and len(uniq) > local_k:
+                order = np.lexsort((uniq, -ssum))[:local_k]
+                uniq, ssum = uniq[order], ssum[order]
+            return pd.DataFrame({"doc_id": uniq.astype(np.int64),
+                                 "score": ssum})
+
+        return blocks.groupBy("range_id").applyInPandas(
+            lambda key, pdf: kernel(pdf), "doc_id long, score double")
+
+    # ---- per-term decoded postings (for set algebra / general trees) ----
+    def _decoded(self, terms: list[str], dfmap: dict[str, int]) -> DataFrame:
+        """→ (term, doc_id, score) for every posting of the given terms."""
+        n_docs, avgdl = float(self.n_docs), float(self.avgdl)
+        blocks = self._blocks(terms, meta_only=False) \
+            .select("term", "range_id", "doc_count", "payload")
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                terms_o, ids_o, sc_o = [], [], []
+                for term, payload, doc_count, range_id in zip(
+                        pdf["term"], pdf["payload"], pdf["doc_count"],
+                        pdf["range_id"]):
+                    ids, tfs, dls = decode_block(
+                        bytes(payload), int(doc_count),
+                        int(range_id) * RANGE_SIZE)
+                    df_t = float(dfmap.get(term, 0))
+                    if df_t <= 0:
+                        continue
+                    sc = bm25_np(tfs.astype(np.float64),
+                                 dls.astype(np.float64), df_t, n_docs, avgdl)
+                    terms_o.append(np.full(len(ids), term, dtype=object))
+                    ids_o.append(ids)
+                    sc_o.append(sc)
+                if terms_o:
+                    yield pd.DataFrame({
+                        "term": np.concatenate(terms_o),
+                        "doc_id": np.concatenate(ids_o).astype(np.int64),
+                        "score": np.concatenate(sc_o)})
+                else:
+                    yield pd.DataFrame({"term": pd.array([], dtype=str),
+                                        "doc_id": pd.array([], dtype="int64"),
+                                        "score": pd.array([], dtype="float64")})
+
+        return blocks.mapInPandas(
+            kernel, "term string, doc_id long, score double")
+
+    # ---- set algebra on DataFrames (§2.6 mapping) ----
+    def _eval_node(self, node, decoded: DataFrame) -> DataFrame:
+        kind = node[0]
+        if kind == "empty":
+            return self.spark.range(0).select(F.col("id").alias("doc_id"))
+        if kind == "term":
+            return (decoded.filter(F.col("term") == node[1])
+                    .select("doc_id"))
+        left = self._eval_node(node[1], decoded)
+        right = self._eval_node(node[2], decoded)
+        if kind == "and":
+            return left.join(right, "doc_id", "inner").select("doc_id")
+        if kind == "or":
+            return left.union(right).distinct()
+        if kind == "not":
+            return left.join(right, "doc_id", "left_anti").select("doc_id")
+        if kind == "xor":
+            l = left.withColumn("_l", F.lit(1))
+            r = right.withColumn("_r", F.lit(1))
+            return (l.join(r, "doc_id", "full_outer")
+                    .filter(F.col("_l").isNull() | F.col("_r").isNull())
+                    .select("doc_id"))
+        raise ValueError(kind)
+
+    # ---- public API ----
+    def search_df(self, query: str, k: int = 10,
+                  mode: str = "auto") -> DataFrame:
+        """→ DataFrame(doc_id long, score double), the top-k, ordered."""
+        node = parser.parse(query)
+        terms = parser.query_terms(node)
+        dfmap = self.term_stats(terms)
+        shape = _tree_shape(node)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double")
+        if shape == "empty" or not terms:
+            return empty
+        if shape == "and" and any(dfmap.get(t, 0) == 0 for t in terms):
+            return empty
+        if mode == "auto":
+            mode = "pruned" if shape in ("single", "and", "or") else "brute"
+        if mode == "pruned" and shape not in ("single", "and", "or"):
+            mode = "brute"
+
+        if mode == "pruned":
+            result = self._search_pruned(terms, dfmap, shape, k)
+        else:
+            decoded = self._decoded([t for t in terms if dfmap.get(t, 0) > 0],
+                                    dfmap)
+            docs = self._eval_node(node, decoded)
+            result = (decoded.join(docs, "doc_id")
+                      .groupBy("doc_id").agg(F.sum("score").alias("score")))
+        return result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _search_pruned(self, terms, dfmap, shape, k) -> DataFrame:
+        present = [t for t in terms if dfmap.get(t, 0) > 0]
+        meta = self._blocks(present, meta_only=True)
+        require_all = len(terms) if shape == "and" else None
+
+        # range-level upper bounds from block metadata only (no payload IO)
+        per_term = meta.groupBy("range_id", "term").agg(
+            F.max("max_score").alias("ms"))
+        agg = per_term.groupBy("range_id").agg(
+            F.sum("ms").alias("ub"), F.count("*").alias("nt"))
+        if require_all is not None:
+            agg = agg.filter(F.col("nt") == require_all)
+        ranges = agg.select("range_id", "ub")
+
+        seed_n = max(4, (2 * k) // 64 + 1)
+        seed_rows = ranges.orderBy(F.desc("ub")).limit(seed_n).collect()
+        if not seed_rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        seed_ids = [r["range_id"] for r in seed_rows]
+
+        blocks = self._blocks(present, meta_only=False)
+        seed_scored = self._score_ranges(
+            blocks.filter(F.col("range_id").isin(seed_ids)),
+            dfmap, require_all, local_k=k)
+        seed_top = seed_scored.orderBy(
+            F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        theta = seed_top[k - 1]["score"] if len(seed_top) >= k else None
+
+        rest = ranges.filter(~F.col("range_id").isin(seed_ids))
+        if theta is not None:
+            rest = rest.filter(F.col("ub") >= F.lit(theta))
+        rest_ids = rest.select("range_id")
+        rest_scored = self._score_ranges(
+            blocks.join(F.broadcast(rest_ids), "range_id"),
+            dfmap, require_all, local_k=k)
+        seed_df = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in seed_top],
+            "doc_id long, score double")
+        return rest_scored.unionByName(seed_df)
+
+    def search(self, query: str, k: int = 10,
+               mode: str = "auto") -> list[tuple[int, float]]:
+        rows = self.search_df(query, k, mode).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+
+def _bucket_of(term: str) -> int:
+    """Driver-side pmod(hash(term), NUM_TERM_BUCKETS) — no Spark job
+    (parity with F.hash asserted in tests/test_spark_engine.py)."""
+    from oscar_spark.functions.spark_hash import term_bucket
+    return term_bucket(term, NUM_TERM_BUCKETS)

@@ -1,0 +1,36 @@
+"""SparkSession factory with the engine's pinned configuration.
+
+Local tests run `local[N]` single-JVM; the same builder settings are what
+we'd ship to a 1000-executor cluster via spark-submit (AQE on, skew join
+on, Arrow on).  Iceberg catalog configs are applied only when the runtime
+jar is present (not in this sandbox — the index store falls back to
+partitioned parquet + manifest, see sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "oscar-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return builder.getOrCreate()

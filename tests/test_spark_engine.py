@@ -1,0 +1,177 @@
+"""End-to-end Spark engine tests: build invariants (FIXTURES.md §4),
+rank-identity vs the pure-Python oracle (ids AND scores), dual-path
+equivalence (pruned == brute, the cqr==tcqr analog), extraction
+byte-identity, and checkpoint resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_spark.config import NUM_TERM_BUCKETS, RANGE_SIZE, SCORE_ROUND
+from oscar_spark.functions.codec import decode_block
+from oscar_spark.functions.spark_hash import term_bucket
+from oscar_spark.serve.executor import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    d, _ = built_index
+    return SearchEngine(spark, d)
+
+
+# ---------- build invariants ----------
+
+def test_build_counts(built_index, oracle):
+    _, res = built_index
+    assert res.n_docs == oracle.n_docs == 300
+    assert res.avgdl == pytest.approx(oracle.avgdl)
+    assert res.n_terms == len(oracle.postings)
+
+
+def test_postings_strictly_increasing_and_block_ranges(spark, built_index):
+    """FIXTURES.md inv 1 + 3 (ConsistencyCheckers.cpp:119-137 analog)."""
+    d, _ = built_index
+    rows = spark.read.parquet(f"{d}/postings").collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        ids, tfs, dls = decode_block(bytes(r["payload"]), r["doc_count"],
+                                     r["range_id"] * RANGE_SIZE)
+        assert (np.diff(ids) > 0).all()
+        assert ids[0] == r["first_doc"] and ids[-1] == r["last_doc"]
+        assert tfs.max() == r["max_tf"]
+        assert (tfs >= 1).all() and (dls >= 1).all()
+        assert r["bucket"] == term_bucket(r["term"], NUM_TERM_BUCKETS)
+        by_term.setdefault(r["term"], []).append(
+            (r["block_id"], r["first_doc"], r["last_doc"]))
+    for term, blocks in by_term.items():
+        blocks.sort()
+        ids = [b[0] for b in blocks]
+        assert ids == list(range(len(blocks)))  # dense block numbering
+        for (_, _, last), (_, first, _) in zip(blocks, blocks[1:]):
+            assert last < first  # non-overlapping, ordered
+
+
+def test_df_matches_postings_and_oracle(spark, built_index, oracle):
+    """FIXTURES.md inv 2: stored df == Σ block doc_counts == oracle df."""
+    d, _ = built_index
+    terms = {r["term"]: r["df"]
+             for r in spark.read.parquet(f"{d}/terms").collect()}
+    assert terms == {t: len(p) for t, p in oracle.postings.items()}
+
+
+def test_postings_docs_exist_and_max_score(spark, built_index, oracle):
+    """FIXTURES.md inv 3: doc ids ∈ doc_stats; max_score ≥ block max."""
+    d, _ = built_index
+    doc_ids = {r["doc_id"]
+               for r in spark.read.parquet(f"{d}/doc_stats").collect()}
+    for r in spark.read.parquet(f"{d}/postings").collect():
+        ids, tfs, dls = decode_block(bytes(r["payload"]), r["doc_count"],
+                                     r["range_id"] * RANGE_SIZE)
+        assert set(ids) <= doc_ids
+        true_scores = [oracle.score(int(i), [r["term"]]) for i in ids]
+        assert r["max_score"] >= max(true_scores) - 1e-9
+        assert r["max_score"] == pytest.approx(max(true_scores))
+
+
+def test_doc_stats_deterministic_order(spark, built_index):
+    d, _ = built_index
+    rows = spark.read.parquet(f"{d}/doc_stats").orderBy("doc_id").collect()
+    key = [(-r["quality"], r["url"]) for r in rows]
+    assert key == sorted(key)
+    assert [r["doc_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_extraction_byte_identity(spark, pages_df):
+    """FIXTURES.md inv 4: extractor(html) == text, byte-identical, in-Spark."""
+    from oscar_spark.build.indexer import extract_pages
+    re_extracted = extract_pages(pages_df.select("url", "warc_ts", "html", "lang"))
+    diff = (re_extracted.alias("a")
+            .join(pages_df.select("url", F.col("text").alias("expected")), "url")
+            .filter(F.col("text") != F.col("expected")).count())
+    assert diff == 0
+
+
+def test_lineage(spark, built_index):
+    d, res = built_index
+    rows = spark.read.parquet(f"{d}/lineage").collect()
+    assert rows and all(r["docs_per_sec"] > 0 for r in rows)
+    assert all(r["input_fingerprint"] == rows[0]["input_fingerprint"]
+               for r in rows)
+    assert {r["partition_id"] for r in rows} <= set(range(NUM_TERM_BUCKETS))
+
+
+# ---------- rank identity vs oracle ----------
+
+QUERIES = [
+    "the", "of and", "city + state", "time - year", "house ^ music",
+    "war history world", "first + one + two", '"north south"',
+    "wd0001", "wd0100 + the", "missingterm", "the - the",
+    "(city + state) war", "river county home",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity(engine, oracle, q):
+    expected = oracle.search(q, k=10)
+    got = engine.search(q, k=10, mode="brute")
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, gs), (_, es) in zip(got, expected):
+        assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
+
+
+@pytest.mark.parametrize("q", ["the", "of and", "city + state",
+                               "war history world", "wd0001",
+                               "first + one + two"])
+def test_dual_path_equivalence(engine, q):
+    """pruned == brute (cqr == tcqr analog, Workfunctions.cpp:1169-1191)."""
+    brute = engine.search(q, k=10, mode="brute")
+    pruned = engine.search(q, k=10, mode="pruned")
+    assert [d for d, _ in pruned] == [d for d, _ in brute]
+    for (_, ps), (_, bs) in zip(pruned, brute):
+        assert round(ps, SCORE_ROUND) == round(bs, SCORE_ROUND)
+
+
+def test_dont_crash_queries(engine):
+    for q in ["((foo (( bar))", "+-(%foo - %+bar)", "()", "foo + () bar",
+              "-foo", "foo ^", '"unterminated', "", ")))((("]:
+        engine.search(q, k=5)  # must not raise
+
+
+# ---------- resume (FIXTURES.md inv 6) ----------
+
+def test_resume_equivalence(spark, pages_df, tmp_path):
+    from oscar_spark.build.indexer import build_index
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, pages_df, d1)
+    # interrupted build: doc_stats committed, later stages missing
+    import json, os, shutil
+    os.makedirs(d2)
+    shutil.copytree(f"{d1}/doc_stats", f"{d2}/doc_stats")
+    m = json.load(open(f"{d1}/_manifest.json"))
+    m["snapshots"] = {"doc_stats": m["snapshots"]["doc_stats"]}
+    m["next_snapshot_id"] = 2
+    json.dump(m, open(f"{d2}/_manifest.json", "w"))
+    res = build_index(spark, pages_df, d2, resume=True)
+    assert res.resumed_stages == ["doc_stats"]
+    for table in ["doc_stats", "terms"]:
+        a = {tuple(r) for r in spark.read.parquet(f"{d1}/{table}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{d2}/{table}").collect()}
+        assert a == b
+    a = {(r["term"], r["block_id"], bytes(r["payload"]))
+         for r in spark.read.parquet(f"{d1}/postings").collect()}
+    b = {(r["term"], r["block_id"], bytes(r["payload"]))
+         for r in spark.read.parquet(f"{d2}/postings").collect()}
+    assert a == b
+
+
+def test_resume_rejects_changed_input(spark, pages_df, built_index,
+                                      tmp_path):
+    """Fingerprint mismatch → full rebuild, not a stale skip."""
+    from oscar_spark.build.indexer import build_index
+    d = str(tmp_path / "c")
+    build_index(spark, pages_df.limit(100), d)
+    res = build_index(spark, pages_df, d, resume=True)
+    assert res.resumed_stages == []
+    assert res.n_docs == 300
