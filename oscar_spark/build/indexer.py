@@ -69,29 +69,40 @@ BLOCKS_SCHEMA = (
 
 
 def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(url, text) batches → (url, term, tf, dl) with per-doc tf combine."""
+    """(url, text) batches → (url, term, tf, dl) with per-doc tf combine.
+
+    Fully vectorized: one flatten + one groupby per Arrow batch (a
+    per-doc value_counts loop measured ~25× slower at 20k docs).
+    """
+    from itertools import chain
     for pdf in batches:
         toks = tokenize_series(pdf["text"])
-        dls = toks.map(len)
-        urls, terms, tfs, dl_out = [], [], [], []
-        for url, tok_list, dl in zip(pdf["url"], toks, dls):
-            if not tok_list:
-                # keep empty docs visible (term NULL) so doc_stats/N/avgdl
-                # count them — matching the oracle's semantics
-                urls.append(url); terms.append(None)
-                tfs.append(0); dl_out.append(0)
-                continue
-            vc = pd.Series(tok_list).value_counts()
-            n = len(vc)
-            urls.extend([url] * n)
-            terms.extend(vc.index.tolist())
-            tfs.extend(vc.values.tolist())
-            dl_out.extend([dl] * n)
-        yield pd.DataFrame({
-            "url": urls, "term": terms,
-            "tf": pd.array(tfs, dtype="int32"),
-            "dl": pd.array(dl_out, dtype="int32"),
+        n_docs = len(pdf)
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        flat = pd.DataFrame({
+            "i": np.repeat(np.arange(n_docs), counts),
+            "term": list(chain.from_iterable(toks)),
         })
+        tf = (flat.groupby(["i", "term"], sort=False).size()
+              .rename("tf").reset_index())
+        dl = pd.Series(counts, name="dl")
+        out = pd.DataFrame({
+            "url": pdf["url"].to_numpy()[tf["i"].to_numpy()],
+            "term": tf["term"],
+            "tf": tf["tf"].astype("int32"),
+            "dl": dl.to_numpy()[tf["i"].to_numpy()].astype("int32"),
+        })
+        # keep empty docs visible (term NULL) so doc_stats/N/avgdl count
+        # them — matching the oracle's semantics
+        empty_idx = np.flatnonzero(counts == 0)
+        if len(empty_idx):
+            out = pd.concat([out, pd.DataFrame({
+                "url": pdf["url"].to_numpy()[empty_idx],
+                "term": pd.array([None] * len(empty_idx), dtype=object),
+                "tf": np.zeros(len(empty_idx), dtype="int32"),
+                "dl": np.zeros(len(empty_idx), dtype="int32"),
+            })], ignore_index=True)
+        yield out
 
 
 def _encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -129,6 +140,7 @@ class BuildResult:
     docs_per_sec: float
     elapsed_sec: float
     resumed_stages: list[str]
+    stage_secs: dict | None = None
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
@@ -157,15 +169,26 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 resume: bool = False) -> BuildResult:
     """Build the full index (doc_stats, terms, postings, lineage)."""
     t0 = time.time()
+    stage_secs: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        stage_secs[name] = round(now - _last[0], 2)
+        _last[0] = now
+
     store = IndexStore(index_dir)
     fp = input_fingerprint(pages)
+    _mark("fingerprint")
     resumed: list[str] = []
 
     tokens = None  # (url, term, tf, dl), lazily defined
 
     def make_tokens() -> DataFrame:
+        # cached: stage 1 (doc lengths) and stage 2 (postings) both read
+        # it — without the cache the corpus is tokenized twice
         return pages.select("url", "text").mapInPandas(
-            _tokenize_batches, TOKENS_SCHEMA)
+            _tokenize_batches, TOKENS_SCHEMA).cache()
 
     # ---- stage 1: doc_stats (docID = rank by static quality; analog of
     # applySort score ordering, OsmKeyValueObjectStore.cpp:1339-1399) ----
@@ -185,6 +208,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         )
         store.write(doc_stats, "doc_stats")
         store.commit("doc_stats", fp)
+    _mark("doc_stats")
     doc_stats = store.read(spark, "doc_stats")
     n_docs, avgdl = doc_stats.select(
         F.count("*"), F.avg("doc_len")).collect()[0]
@@ -220,6 +244,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         )
         store.write(final_blocks, "postings", partition_by=["bucket"])
         store.commit("postings", fp)
+    _mark("postings")
     postings = store.read(spark, "postings")
 
     # ---- stage 3: terms (df recomputed from committed postings so the
@@ -233,8 +258,11 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         )
         store.write(terms, "terms", partition_by=["bucket"])
         store.commit("terms", fp)
+    _mark("terms")
     terms = store.read(spark, "terms")
 
+    if tokens is not None:
+        tokens.unpersist()
     n_terms = terms.count()
     n_blocks = postings.count()
     elapsed = time.time() - t0
@@ -255,7 +283,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 "terms_out", "docs_per_sec", "snapshot_id", "ts")
     )
     store.write(lineage, "lineage")
+    _mark("lineage_and_counts")
 
     return BuildResult(n_docs=n_docs, avgdl=avgdl, n_terms=n_terms,
                        n_blocks=int(n_blocks), docs_per_sec=dps,
-                       elapsed_sec=elapsed, resumed_stages=resumed)
+                       elapsed_sec=elapsed, resumed_stages=resumed,
+                       stage_secs=stage_secs)

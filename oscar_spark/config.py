@@ -41,3 +41,8 @@ SCORE_ROUND: int = 4           # decimals when hashing/comparing scores
 # --- fixtures ---
 FIXTURE_SEED: int = 42
 VOCAB_SIZE: int = 5000
+
+# --- prefix queries (QT_PREFIX analog) ---
+# expansion rule pinned for rank-identity: all index terms with the
+# stem prefix, sorted lexicographically, capped at this many terms
+MAX_PREFIX_EXPAND: int = 256

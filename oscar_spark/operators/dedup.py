@@ -129,15 +129,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig = minhash_signatures(spark, sf_dir)
     r = MINHASH_PERMS // LSH_BANDS
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [f"sig{b * r + j}" for j in range(r)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.concat(*[F.col(c) for c in cols]).alias("key")))
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
+    # ONE pass over the signatures: posexplode of the band-key array
+    # (a per-band select + union re-shingles the corpus LSH_BANDS times)
+    band_keys = F.array(*[
+        F.concat(*[F.col(f"sig{b * r + j}") for j in range(r)])
+        for b in range(LSH_BANDS)])
+    all_bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key"))
     pairs = (all_bands.alias("a")
              .join(all_bands.alias("b"), ["band", "key"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -92,8 +92,10 @@ DOC_STATS_SQL = (
 def _scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
     """(doc_id, score per term present, n_match) for a list of terms."""
     t = tokens(docs)
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # cached: dl, dfs and the scored join all branch from tf — without
+    # the cache the corpus is re-tokenized per branch
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     n = docs.count()
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     # scalar subqueries via crossJoin of 1-row aggregates (declarative,

@@ -34,6 +34,12 @@ class OracleIndex:
         total = sum(self.doc_len.values())
         self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
 
+    def expand_prefix(self, stem: str) -> list[str]:
+        """Pinned prefix expansion (sorted, capped) — see config."""
+        from oscar_spark.config import MAX_PREFIX_EXPAND
+        return sorted(t for t in self.postings
+                      if t.startswith(stem))[:MAX_PREFIX_EXPAND]
+
     # --- set algebra (mirrors DecelledACOT::execute set ops,
     #     reference/oscar-cmd/DecelledACOT.cpp:73-98) ---
     def eval_node(self, node) -> set[int]:
@@ -42,6 +48,11 @@ class OracleIndex:
             return set()
         if kind == "term":
             return set(self.postings.get(node[1], {}))
+        if kind == "prefix":
+            out: set[int] = set()
+            for t in self.expand_prefix(node[1]):
+                out |= set(self.postings[t])
+            return out
         left, right = self.eval_node(node[1]), self.eval_node(node[2])
         if kind == "and":
             return left & right
@@ -68,7 +79,7 @@ class OracleIndex:
         """Top-k (doc_id, score), ties broken score DESC then doc_id ASC."""
         node = parser.parse(query)
         docs = self.eval_node(node)
-        terms = parser.query_terms(node)
+        terms = parser.query_terms(node, self.expand_prefix)
         scored = [(d, self.score(d, terms)) for d in docs]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]

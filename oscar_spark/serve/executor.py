@@ -79,6 +79,31 @@ class SearchEngine:
         self.n_docs = int(row["n"])
         self.avgdl = float(row["a"]) if row["a"] is not None else 0.0
 
+    # ---- prefix expansion (QT_PREFIX → sorted term-table range scan;
+    # the trie-subtree merge of CellTextCompleter.h:496-525 re-expressed.
+    # Scans all buckets of the small `terms` table — at 10^12-doc scale a
+    # prefix-range-partitioned terms mirror would restore pruning) ----
+    def expand_prefix(self, stem: str) -> list[str]:
+        from oscar_spark.config import MAX_PREFIX_EXPAND
+        rows = (self.terms.filter(F.col("term").startswith(stem))
+                .select("term").orderBy("term")
+                .limit(MAX_PREFIX_EXPAND).collect())
+        return [r["term"] for r in rows]
+
+    def _rewrite_prefixes(self, node):
+        """AST → AST with prefix leaves expanded to OR-chains."""
+        kind = node[0]
+        if kind == "prefix":
+            out = None
+            for t in self.expand_prefix(node[1]):
+                leaf = ("term", t)
+                out = leaf if out is None else ("or", out, leaf)
+            return out if out is not None else parser.EMPTY
+        if kind in ("term", "empty"):
+            return node
+        return (kind, self._rewrite_prefixes(node[1]),
+                self._rewrite_prefixes(node[2]))
+
     # ---- term lookup (J5: broadcast-of-query-terms) ----
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         if not terms:
@@ -208,6 +233,7 @@ class SearchEngine:
                   mode: str = "auto") -> DataFrame:
         """→ DataFrame(doc_id long, score double), the top-k, ordered."""
         node = parser.parse(query)
+        node = self._rewrite_prefixes(node)
         terms = parser.query_terms(node)
         dfmap = self.term_stats(terms)
         shape = _tree_shape(node)
@@ -247,15 +273,20 @@ class SearchEngine:
         ranges = agg.select("range_id", "ub")
 
         seed_n = max(4, (2 * k) // 64 + 1)
-        seed_rows = ranges.orderBy(F.desc("ub")).limit(seed_n).collect()
+        seed_rows = ranges.orderBy(F.desc("ub")).limit(seed_n + 1).collect()
         if not seed_rows:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        exhausted = len(seed_rows) <= seed_n  # every candidate range seeded
+        seed_rows = seed_rows[:seed_n]
         seed_ids = [r["range_id"] for r in seed_rows]
 
         blocks = self._blocks(present, meta_only=False)
         seed_scored = self._score_ranges(
             blocks.filter(F.col("range_id").isin(seed_ids)),
             dfmap, require_all, local_k=k)
+        if exhausted:
+            # all candidate ranges already scored — skip phase B entirely
+            return seed_scored
         seed_top = seed_scored.orderBy(
             F.desc("score"), F.asc("doc_id")).limit(k).collect()
         theta = seed_top[k - 1]["score"] if len(seed_top) >= k else None

@@ -89,11 +89,23 @@ def _lex(query: str):
     return out
 
 
-def _terms_node(text: str):
-    """Text fragment → intersection of its normalized tokens (or EMPTY)."""
+def _terms_node(text: str, allow_prefix: bool = True):
+    """Text fragment → intersection of its normalized tokens (or EMPTY).
+
+    A trailing '*' marks a prefix query (QT_PREFIX analog: the trie
+    subtree merge of reference/oscar-create/CellTextCompleter.h:496-525
+    becomes a range scan of the sorted term table).  Suffix/substring
+    ('*tok', '*tok*') are out of scope (SURVEY.md non-goals) — stars in
+    other positions are treated as token separators.
+    """
+    is_prefix = allow_prefix and text.endswith("*") and len(text) > 1
+    toks = tokenize(text)
     node = None
-    for tok in tokenize(text):
-        leaf = ("term", tok)
+    for i, tok in enumerate(toks):
+        if is_prefix and i == len(toks) - 1:
+            leaf = ("prefix", tok)
+        else:
+            leaf = ("term", tok)
         node = leaf if node is None else ("and", node, leaf)
     return node if node is not None else EMPTY
 
@@ -114,7 +126,7 @@ def _parse_tokens(toks, pos: int, depth: int):
         t = toks[pos]
         kind = t[0]
         if kind == "word" or kind == "quoted":
-            sub = _terms_node(t[1])
+            sub = _terms_node(t[1], allow_prefix=(kind == "word"))
             if sub != EMPTY:
                 attach(sub)
             pos += 1
@@ -142,16 +154,29 @@ def parse(query: str):
         return EMPTY
 
 
-def query_terms(node) -> list[str]:
-    """Distinct terms of an AST in first-appearance order (scoring set)."""
+def query_terms(node, expand_prefix=None) -> list[str]:
+    """Distinct terms of an AST in first-appearance order (scoring set).
+
+    Prefix leaves contribute their expansion: `expand_prefix(stem)` must
+    return the matching terms (both engines pin the same rule: all index
+    terms starting with the stem, sorted, capped at MAX_PREFIX_EXPAND).
+    Without an expander, prefix leaves contribute nothing.
+    """
     out: list[str] = []
     seen = set()
 
+    def add(t):
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+
     def walk(n):
         if n[0] == "term":
-            if n[1] not in seen:
-                seen.add(n[1])
-                out.append(n[1])
+            add(n[1])
+        elif n[0] == "prefix":
+            if expand_prefix is not None:
+                for t in expand_prefix(n[1]):
+                    add(t)
         elif n[0] != "empty":
             walk(n[1])
             walk(n[2])

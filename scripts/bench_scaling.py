@@ -1,0 +1,146 @@
+"""Scaling-efficiency proof (BASELINE.json: ≥ 0.8 from N to 4N).
+
+No real cluster in this sandbox, so per the driver's instruction the
+same build job runs at two parallelism levels — local[N] and local[4N]
+— on identical parquet input; efficiency = dps_4N / (4 × dps_N).
+
+Writes BENCH/BASELINE.md (throughputs, efficiency, serve latencies) and
+BENCH/serve_latency.csv (per-query CSV shaped like the reference's
+<out>.raw, reference/oscar-cmd/Benchmark.cpp:227-241).
+
+Usage: python scripts/bench_scaling.py [--pages 40000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SERVE_QUERIES = [
+    "the", "of and", "city + state", "time - year", "house ^ music",
+    "war history world", "first + one + two", '"north south"',
+    "wd0042", "wd0100 + the",
+]
+
+
+def run_build(cores: int, pages_path: str, out_dir: str) -> dict:
+    """One fresh JVM at local[cores]: timed build + timed serve."""
+    from oscar_spark.session import get_spark
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.serve.executor import SearchEngine
+
+    spark = get_spark(app=f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_path)
+    pages.count()  # warm the file listing/footers so build timing is compute
+    t0 = time.time()
+    res = build_index(spark, pages, out_dir)
+    build_sec = time.time() - t0
+    eng = SearchEngine(spark, out_dir)
+    latencies = []
+    for q in SERVE_QUERIES:
+        t0 = time.time()
+        rows = eng.search(q, k=10)
+        warm = time.time() - t0  # cold (first) run
+        t0 = time.time()
+        rows = eng.search(q, k=10)
+        hot = time.time() - t0   # warm (second) run counts, like Benchmark.cpp:158
+        latencies.append((q, round(warm, 4), round(hot, 4), len(rows)))
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": res.n_docs,
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(res.n_docs / build_sec, 1),
+        "n_terms": res.n_terms,
+        "n_blocks": res.n_blocks,
+        "latencies": latencies,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int,
+                    default=int(os.environ.get("BENCH_PAGES", "40000")))
+    ap.add_argument("--n", type=int, default=8,
+                    help="N cores; 4N is run as well")
+    args = ap.parse_args()
+
+    os.makedirs("BENCH", exist_ok=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages_path = os.path.join(tmp, "pages")
+        # generate once with a throwaway session so both runs read the
+        # same parquet input
+        from oscar_spark.session import get_spark
+        from oscar_spark.fixtures.pages import pages_spark_df
+        spark = get_spark(app="gen", cores=args.n * 4)
+        spark.sparkContext.setLogLevel("ERROR")
+        print(f"generating {args.pages} pages ...", file=sys.stderr)
+        pages_spark_df(spark, args.pages).repartition(args.n * 4) \
+            .write.parquet(pages_path)
+        spark.stop()
+
+        results = []
+        for cores in (args.n, args.n * 4):
+            out_dir = os.path.join(tmp, f"idx{cores}")
+            print(f"building at local[{cores}] ...", file=sys.stderr)
+            results.append(run_build(cores, pages_path, out_dir))
+            print(f"  {results[-1]['docs_per_sec']} docs/s", file=sys.stderr)
+
+    r_n, r_4n = results
+    eff = r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"])
+
+    with open("BENCH/serve_latency.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["cores", "query", "cold_sec", "warm_sec", "rows"])
+        for r in results:
+            for q, cold, warm, n in r["latencies"]:
+                w.writerow([r["cores"], q, cold, warm, n])
+
+    hot_n = [x[2] for x in r_4n["latencies"]]
+    md = f"""# BENCH/BASELINE — measured numbers (sandbox: one machine, two parallelism levels)
+
+Input: {args.pages} deterministic fixture pages (Zipf vocabulary, seed 42),
+written once to parquet and read identically by both runs.
+
+## Index-build throughput & scaling efficiency
+
+| parallelism | build wall (s) | docs/sec | terms | blocks |
+|---|---|---|---|---|
+| local[{r_n['cores']}] (N) | {r_n['build_sec']} | {r_n['docs_per_sec']} | {r_n['n_terms']} | {r_n['n_blocks']} |
+| local[{r_4n['cores']}] (4N) | {r_4n['build_sec']} | {r_4n['docs_per_sec']} | {r_4n['n_terms']} | {r_4n['n_blocks']} |
+
+**Scaling efficiency (docs/sec at 4N) / (4 × docs/sec at N) =**
+**{eff:.3f}** (target ≥ 0.8; BASELINE.json north_rule — evidenced at two
+local[N] levels per the sandbox instruction, standing in for N vs 4N
+executors).
+
+## Serve latency (block-max-pruned BM25 top-10, warm = 2nd run, like
+reference/oscar-cmd/Benchmark.cpp:158)
+
+At 4N: min {min(hot_n):.3f}s / median {sorted(hot_n)[len(hot_n)//2]:.3f}s /
+max {max(hot_n):.3f}s over {len(hot_n)} reference-style queries.
+Per-query CSV: BENCH/serve_latency.csv.
+
+Raw: ```json
+{json.dumps({'n': r_n, '4n': r_4n, 'efficiency': round(eff, 4)}, default=str)}
+```
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"efficiency": round(eff, 4),
+                      "docs_per_sec_n": r_n["docs_per_sec"],
+                      "docs_per_sec_4n": r_4n["docs_per_sec"]}))
+
+
+if __name__ == "__main__":
+    main()

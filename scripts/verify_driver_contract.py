@@ -117,7 +117,7 @@ def main() -> int:
         oracle = OracleIndex([(int(ds[u]), t)
                               for u, t in zip(pdf['url'], pdf['text'])])
         for q in ["the", "city + state", "war - history", "of and to",
-                  "((", "-foo", '"unterminated']:
+                  "wd00*", "ci* + history", "((", "-foo", '"unterminated']:
             got = eng.search(q, k=5)
             exp = oracle.search(q, k=5)
             ok = ([d0 for d0, _ in got] == [d0 for d0, _ in exp]

@@ -168,3 +168,16 @@ def test_oracle_ranking(idx):
     res2 = idx.search("the", k=10)
     assert [d for d, _ in res2] == [0, 1]
     assert res2[0][1] == pytest.approx(res2[1][1])
+
+
+def test_prefix_parse_and_oracle():
+    assert parser.parse("qu*") == ("prefix", "qu")
+    assert parser.parse("foo qu*") == \
+        ("and", ("term", "foo"), ("prefix", "qu"))
+    assert parser.parse('"qu*"') == ("and", ("term", "qu"), parser.EMPTY) or \
+        parser.parse('"qu*"') == ("term", "qu")  # quotes disable prefix
+    idx = OracleIndex([(0, "quick quiet"), (1, "quiet dog"), (2, "other")])
+    assert idx.eval_node(parser.parse("qu*")) == {0, 1}
+    assert idx.eval_node(parser.parse("qu* - dog")) == {0}
+    res = idx.search("qu*", k=5)
+    assert [d for d, _ in res][0] == 0  # doc 0 matches two expanded terms

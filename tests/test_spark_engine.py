@@ -175,3 +175,15 @@ def test_resume_rejects_changed_input(spark, pages_df, built_index,
     res = build_index(spark, pages_df, d, resume=True)
     assert res.resumed_stages == []
     assert res.n_docs == 300
+
+
+@pytest.mark.parametrize("q", ["wd00*", "ci* + st*", "the wd01*", "zz*"])
+def test_prefix_rank_identity(engine, oracle, q):
+    """QT_PREFIX: engine expansion == oracle expansion, rank-identical."""
+    expected = oracle.search(q, k=10)
+    got = engine.search(q, k=10, mode="brute")
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, gs), (_, es) in zip(got, expected):
+        assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
+    pruned = engine.search(q, k=10, mode="auto")
+    assert [d for d, _ in pruned] == [d for d, _ in expected]
