@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, 20),
         "rel_customer_set_ops": relational.customer_set_ops,
         "rel_order_stats": relational.order_stats,
+        "rel_events_hourly": relational.events_hourly,
+        "rel_sessionize": lambda s, d: relational.sessionize(s, d, 30),
     }
 
 
@@ -112,4 +114,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_revenue_orders": relational.top_revenue_orders_sql(20),
         "rel_customer_set_ops": relational.CUSTOMER_SET_OPS_SQL,
         "rel_order_stats": relational.ORDER_STATS_SQL,
+        "rel_events_hourly": relational.EVENTS_HOURLY_SQL,
+        "rel_sessionize": relational.sessionize_sql(30),
     }

@@ -55,8 +55,12 @@ _EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
 
 
 def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
-                   n_sites: int = 50) -> pd.DataFrame:
-    """Deterministic pages table as a pandas DataFrame."""
+                   n_sites: int = 50, start_index: int = 0) -> pd.DataFrame:
+    """Deterministic pages table as a pandas DataFrame.
+
+    start_index offsets urls/timestamps so large corpora can be generated
+    in chunks (chunk i uses seed+i) with globally-unique urls.
+    """
     rng = np.random.RandomState(seed)
     vocab = np.array(vocabulary())
     probs = _zipf_probs(len(vocab))
@@ -85,10 +89,11 @@ def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
         if corrupt[i]:
             # invalid UTF-8 + unclosed tag, per FIXTURES.md §1
             html = html.replace(b"</body></html>", b"<div class=\xff\xfe>tail text")
-        url = f"https://site{sites[i]:04d}.example/p{i:08d}"
+        gi = start_index + i
+        url = f"https://site{sites[i]:04d}.example/p{gi:08d}"
         rows.append((
             url,
-            _EPOCH + dt.timedelta(seconds=int(i) * 137),
+            _EPOCH + dt.timedelta(seconds=int(gi) * 137),
             html,
             extract_text(html),
             str(langs[i]),
@@ -96,17 +101,21 @@ def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def pages_spark_df(spark, n_rows: int, seed: int = FIXTURE_SEED):
-    """pages fixture as a Spark DataFrame with the pinned schema."""
+def pages_schema():
     from pyspark.sql.types import (
         BinaryType, StringType, StructField, StructType, TimestampType,
     )
-    schema = StructType([
+    return StructType([
         StructField("url", StringType(), False),
         StructField("warc_ts", TimestampType(), False),
         StructField("html", BinaryType(), False),
         StructField("text", StringType(), False),
         StructField("lang", StringType(), False),
     ])
-    pdf = generate_pages(n_rows, seed=seed)
-    return spark.createDataFrame(pdf, schema=schema)
+
+
+def pages_spark_df(spark, n_rows: int, seed: int = FIXTURE_SEED,
+                   start_index: int = 0):
+    """pages fixture as a Spark DataFrame with the pinned schema."""
+    pdf = generate_pages(n_rows, seed=seed, start_index=start_index)
+    return spark.createDataFrame(pdf, schema=pages_schema())

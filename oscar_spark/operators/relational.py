@@ -201,3 +201,54 @@ ORDER_STATS_SQL = (
     "ROUND(MAX(o_totalprice), 2) AS max_price, "
     "ROUND(AVG(o_totalprice), 4) AS avg_price "
     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+
+
+# ---- windowed event aggregation (batch twin of streaming/jobs.py;
+# the reference has no streaming — §2.8 — this covers the events table) ----
+def events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("win_start"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy("win_start", "event_type"))
+
+
+EVENTS_HOURLY_SQL = (
+    "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+    "COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value "
+    "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type")
+
+
+# ---- sessionization (gap > 30 min ⇒ new session; lag + cumsum window) ----
+def sessionize(spark, sf_dir, gap_min: int = 30):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: no direct long cast; go via LTZ (session=UTC)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_min * 60), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("sess_start"))
+            .orderBy("user_id", "session_id"))
+
+
+def sessionize_sql(gap_min: int = 30) -> str:
+    return (
+        "WITH g AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" IS NULL OR date_diff('second', lag(ts) OVER (PARTITION BY user_id"
+        f" ORDER BY ts, event_id), ts) > {gap_min * 60} THEN 1 ELSE 0 END"
+        " AS new_sess FROM events), "
+        "s AS (SELECT user_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY"
+        " user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+        " AS session_id FROM g) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "MIN(ts) AS sess_start FROM s GROUP BY user_id, session_id "
+        "ORDER BY user_id, session_id")

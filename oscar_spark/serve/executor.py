@@ -79,6 +79,18 @@ class SearchEngine:
         self.n_docs = int(row["n"])
         self.avgdl = float(row["a"]) if row["a"] is not None else 0.0
 
+    # ---- memory control (S7: Worker::lockMemory/dropMemory analog,
+    # reference/oscar-cmd/Workfunctions.cpp:781-820 — mmap+mlock becomes
+    # executor-cache persist/unpersist) ----
+    def pin_memory(self) -> None:
+        from pyspark import StorageLevel
+        self.postings = self.postings.persist(StorageLevel.MEMORY_AND_DISK)
+        self.terms = self.terms.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def drop_memory(self) -> None:
+        self.postings = self.postings.unpersist()
+        self.terms = self.terms.unpersist()
+
     # ---- prefix expansion (QT_PREFIX → sorted term-table range scan;
     # the trie-subtree merge of CellTextCompleter.h:496-525 re-expressed.
     # Scans all buckets of the small `terms` table — at 10^12-doc scale a

@@ -1,0 +1,60 @@
+"""Structured Streaming jobs (beyond-reference extension; §2.8 is 'none'
+in the reference — these exist to make incremental ingest possible, not
+to mirror oscar).
+
+Batch/streaming parity: each streaming job reuses the SAME transformation
+function as its batch twin, so the streaming output equals the batch
+answer on a bounded input (asserted in tests via the memory sink +
+processAllAvailable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame,
+                          watermark: bool = False) -> DataFrame:
+    """Tumbling 1-hour window counts per event_type (batch OR streaming
+    DataFrame in, same plan out)."""
+    if watermark:
+        events = events.withWatermark("ts", "2 hours")
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("win_start"), "event_type",
+                    "n", "total_value"))
+
+
+def stream_events_to_memory(spark: SparkSession, parquet_dir: str,
+                            table_name: str = "stream_out") -> DataFrame:
+    """Drive the windowed agg as a real streaming query over the parquet
+    events fixture (memory sink, complete mode), synchronously."""
+    import os
+    import tempfile
+    schema = spark.read.parquet(parquet_dir).schema
+    if os.path.isfile(parquet_dir):
+        # FileStreamSource requires a directory; expose the single file
+        # through a symlink dir (testdata ships one file per table)
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(parquet_dir),
+                   os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    stream = (spark.readStream.schema(schema).parquet(parquet_dir))
+    agg = windowed_event_counts(stream, watermark=False)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(table_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {table_name}")
+
+
+def streaming_token_counts(pages: DataFrame) -> DataFrame:
+    """Incremental build front-half: per-batch tokenize+tf (stateless
+    mapInPandas works identically under readStream)."""
+    from oscar_spark.build.indexer import TOKENS_SCHEMA, _tokenize_batches
+    return pages.select("url", "text").mapInPandas(
+        _tokenize_batches, TOKENS_SCHEMA)

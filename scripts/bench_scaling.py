@@ -85,8 +85,12 @@ def main() -> None:
         spark = get_spark(app="gen", cores=args.n * 4)
         spark.sparkContext.setLogLevel("ERROR")
         print(f"generating {args.pages} pages ...", file=sys.stderr)
-        pages_spark_df(spark, args.pages).repartition(args.n * 4) \
-            .write.parquet(pages_path)
+        chunk = 40000
+        for ci, start in enumerate(range(0, args.pages, chunk)):
+            n = min(chunk, args.pages - start)
+            df = pages_spark_df(spark, n, seed=42 + ci, start_index=start)
+            df.repartition(args.n).write.mode("append").parquet(pages_path)
+            print(f"  chunk {ci}: {start + n}/{args.pages}", file=sys.stderr)
         spark.stop()
 
         results = []
