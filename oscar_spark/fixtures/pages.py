@@ -70,14 +70,26 @@ def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
     sites = rng.randint(0, n_sites, size=n_rows)
     langs = rng.choice(["en", "de", "fr"], size=n_rows, p=[0.80, 0.15, 0.05])
     corrupt = rng.rand(n_rows) < 0.01
+    # per-paragraph lengths and ONE bulk Zipf draw for all words (a
+    # per-row rng.choice redoes the 5000-entry cumsum every call — ~50×
+    # slower at corpus scale)
+    para_lens = rng.randint(20, 81, size=(n_rows, 3))
+    words_per_row = title_lens + np.where(
+        np.arange(3)[None, :] < n_paras[:, None], para_lens, 0).sum(axis=1)
+    all_words = vocab[rng.choice(len(vocab), size=int(words_per_row.sum()),
+                                 p=probs)]
+    offsets = np.concatenate([[0], np.cumsum(words_per_row)])
 
     rows = []
     for i in range(n_rows):
-        title = " ".join(rng.choice(vocab, size=title_lens[i], p=probs))
+        pos = int(offsets[i])
+        title = " ".join(all_words[pos:pos + title_lens[i]])
+        pos += int(title_lens[i])
         paras = []
-        for _ in range(n_paras[i]):
-            k = rng.randint(20, 81)
-            paras.append(" ".join(rng.choice(vocab, size=k, p=probs)))
+        for j in range(n_paras[i]):
+            k = int(para_lens[i, j])
+            paras.append(" ".join(all_words[pos:pos + k]))
+            pos += k
         body = "".join(f"<p>{p}</p>" for p in paras)
         html = (
             f"<html><head><title>{title}</title>"

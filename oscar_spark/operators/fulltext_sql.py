@@ -21,9 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oscar_spark.config import (
-    BM25_B, BM25_K1, MIN_TOKEN_LEN, SCORE_ROUND, TOKEN_SPLIT_RE,
-)
+from oscar_spark.config import MIN_TOKEN_LEN, SCORE_ROUND, TOKEN_SPLIT_RE
 from oscar_spark.functions.bm25 import bm25_sql
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oscar_spark.operators.fulltext_sql import load_documents, tokens
+from oscar_spark.operators.fulltext_sql import load_documents
 
 # pinned per-language stopword lists (fixture-agnostic, tiny)
 LANG_STOPWORDS = {

@@ -262,6 +262,11 @@ class SearchEngine:
 
         if mode == "pruned":
             result = self._search_pruned(terms, dfmap, shape, k)
+        elif mode == "all_ranges":
+            present = [t for t in terms if dfmap.get(t, 0) > 0]
+            result = self._score_ranges(
+                self._blocks(present, meta_only=False), dfmap,
+                len(terms) if shape == "and" else None, local_k=k)
         else:
             decoded = self._decoded([t for t in terms if dfmap.get(t, 0) > 0],
                                     dfmap)
@@ -270,10 +275,18 @@ class SearchEngine:
                       .groupBy("doc_id").agg(F.sum("score").alias("score")))
         return result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # below this many candidate postings, two-phase pruning costs more
+    # in job round-trips than the decode it saves — score everything
+    PRUNE_MIN_POSTINGS = 100_000
+
     def _search_pruned(self, terms, dfmap, shape, k) -> DataFrame:
         present = [t for t in terms if dfmap.get(t, 0) > 0]
-        meta = self._blocks(present, meta_only=True)
         require_all = len(terms) if shape == "and" else None
+        if sum(dfmap.get(t, 0) for t in present) < self.PRUNE_MIN_POSTINGS:
+            return self._score_ranges(
+                self._blocks(present, meta_only=False), dfmap,
+                require_all, local_k=k)
+        meta = self._blocks(present, meta_only=True)
 
         # range-level upper bounds from block metadata only (no payload IO)
         per_term = meta.groupBy("range_id", "term").agg(

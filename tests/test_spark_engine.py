@@ -125,12 +125,21 @@ def test_rank_identity(engine, oracle, q):
                                "war history world", "wd0001",
                                "first + one + two"])
 def test_dual_path_equivalence(engine, q):
-    """pruned == brute (cqr == tcqr analog, Workfunctions.cpp:1169-1191)."""
+    """pruned == brute (cqr == tcqr analog, Workfunctions.cpp:1169-1191).
+
+    Run the pruned path BOTH ways: single-phase (small-query fast path)
+    and forced two-phase seed/θ/prune (the at-scale path)."""
     brute = engine.search(q, k=10, mode="brute")
-    pruned = engine.search(q, k=10, mode="pruned")
-    assert [d for d, _ in pruned] == [d for d, _ in brute]
-    for (_, ps), (_, bs) in zip(pruned, brute):
-        assert round(ps, SCORE_ROUND) == round(bs, SCORE_ROUND)
+    try:
+        engine.PRUNE_MIN_POSTINGS = 0  # force two-phase
+        two_phase = engine.search(q, k=10, mode="pruned")
+    finally:
+        del engine.PRUNE_MIN_POSTINGS
+    single = engine.search(q, k=10, mode="pruned")
+    for got in (two_phase, single):
+        assert [d for d, _ in got] == [d for d, _ in brute]
+        for (_, ps), (_, bs) in zip(got, brute):
+            assert round(ps, SCORE_ROUND) == round(bs, SCORE_ROUND)
 
 
 def test_dont_crash_queries(engine):
