@@ -1,0 +1,76 @@
+"""Deterministic docID assignment — the one global ordering in the build.
+
+Reference semantics: items are renumbered in descending static-score
+order at build time so docID order IS rank order
+(reference/oscar-create/OsmKeyValueObjectStore.cpp:1339-1399 applySort).
+
+Two interchangeable strategies, both producing the identical mapping
+(asserted equal in tests/test_docids.py):
+
+- assign_doc_ids_window: row_number over a global orderBy.  Simple, but
+  the window is a single-partition sort — fine at test scale, a wall at
+  10^12 docs.
+- assign_doc_ids_ranged: the scale path.  repartitionByRange on the
+  order key gives globally range-ordered partitions; per-partition
+  counts (one tiny collect = the "committed partition manifest") give
+  each partition a contiguous base offset; ids are then assigned
+  sequentially inside each sorted partition with mapInPandas.  No
+  single-partition stage; the only driver data is #partitions rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order():
+    # built lazily — F.desc needs an active SparkContext
+    return [F.desc("quality"), F.asc("url")]
+
+
+def assign_doc_ids_window(doc_lens: DataFrame) -> DataFrame:
+    """(url, doc_len, quality) → + doc_id via global row_number."""
+    w = Window.orderBy(*_order())
+    return doc_lens.withColumn(
+        "doc_id", F.row_number().over(w).cast("long") - 1)
+
+
+def assign_doc_ids_ranged(doc_lens: DataFrame,
+                          num_partitions: int = 32) -> DataFrame:
+    """Same mapping, no global window: range partitions + base offsets."""
+    spark = doc_lens.sparkSession
+    ranged = (doc_lens
+              .repartitionByRange(num_partitions, *_order())
+              .sortWithinPartitions(*_order())
+              .withColumn("_pid", F.spark_partition_id()))
+    # the committed partition manifest: pid → row count (tiny collect)
+    counts = {r["_pid"]: r["n"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    schema = ranged.drop("_pid").schema.add("doc_id", "long", False)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"])
+            out["doc_id"] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    # mapInPandas preserves the within-partition sort order, so ids are
+    # sequential in (quality DESC, url ASC) order partition by partition
+    return ranged.mapInPandas(assign, schema)

@@ -64,7 +64,7 @@ from oscar_spark.sources.tables import IndexStore
 TOKENS_SCHEMA = "url string, term string, tf int, dl int"
 BLOCKS_SCHEMA = (
     "term string, range_id long, first_doc long, last_doc long, "
-    "doc_count int, max_tf int, max_score double, payload binary"
+    "doc_count int, max_tf int, min_dl int, payload binary"
 )
 
 
@@ -110,25 +110,29 @@ def _encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
     Mirrors the per-cell sort + strict-monotone invariant of
     reference/oscar-create/CellTextCompleter.cpp:139-155 (makeConsistent).
+
+    Emits (max_tf, min_dl) per block; max_score is derived LATER on the
+    tiny blocks table as bm25(max_tf, min_dl, df) — a valid block-max
+    upper bound (BM25 ↑ in tf, ↓ in dl) that avoids carrying a per-
+    posting score column (and its df join) through the big shuffle.
     """
     term, range_id = key
     pdf = pdf.sort_values("doc_id")
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
-    scores = pdf["score"].to_numpy(dtype=np.float64)
     base = int(range_id) * RANGE_SIZE
     rows = []
     for s in range(0, len(ids), BLOCK_SIZE):
         e = min(s + BLOCK_SIZE, len(ids))
         rows.append((
             term, int(range_id), int(ids[s]), int(ids[e - 1]), e - s,
-            int(tfs[s:e].max()), float(scores[s:e].max()),
+            int(tfs[s:e].max()), int(dls[s:e].min()),
             encode_block(ids[s:e], tfs[s:e], dls[s:e], base),
         ))
     return pd.DataFrame(rows, columns=[
         "term", "range_id", "first_doc", "last_doc", "doc_count",
-        "max_tf", "max_score", "payload"])
+        "max_tf", "min_dl", "payload"])
 
 
 @dataclass
@@ -220,27 +224,31 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     else:
         if tokens is None:
             tokens = make_tokens()
-        postings_raw = tokens.filter(F.col("term").isNotNull()).join(
-            doc_stats.select("url", "doc_id"), "url")
-        dfs = postings_raw.groupBy("term").agg(F.count("*").alias("df"))
-        scored = (
-            postings_raw.join(dfs, "term")
-            .withColumn("score", F.expr(bm25_sql(
-                "tf", "dl", "df", str(float(n_docs)), repr(avgdl))))
+        postings_raw = (
+            tokens.filter(F.col("term").isNotNull())
+            .join(doc_stats.select("url", "doc_id"), "url")
             .withColumn("range_id",
                         (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
         )
-        blocks = scored.groupBy("term", "range_id").applyInPandas(
+        blocks = postings_raw.groupBy("term", "range_id").applyInPandas(
             _encode_group, BLOCKS_SCHEMA)
-        # phase-2 merge: global block numbering per term (blocks table is
-        # ~df/BLOCK_SIZE rows — tiny next to postings; cheap window)
+        # everything below runs on the TINY blocks table (~df/BLOCK_SIZE
+        # rows): df per term, the block-max upper bound, and the phase-2
+        # merge (global block numbering per term via window)
+        dfs = blocks.groupBy("term").agg(
+            F.sum("doc_count").cast("long").alias("df"))
         bw = Window.partitionBy("term").orderBy("first_doc")
         final_blocks = (
-            blocks.withColumn("block_id", F.row_number().over(bw) - 1)
+            blocks.join(dfs, "term")
+            .withColumn("max_score", F.expr(bm25_sql(
+                "max_tf", "min_dl", "df",
+                str(float(n_docs)), repr(avgdl))))
+            .withColumn("block_id", F.row_number().over(bw) - 1)
             .withColumn("bucket", F.pmod(F.hash("term"),
                                          F.lit(NUM_TERM_BUCKETS)))
             .select("bucket", "term", "block_id", "range_id", "first_doc",
-                    "last_doc", "doc_count", "max_tf", "max_score", "payload")
+                    "last_doc", "doc_count", "max_tf", "min_dl",
+                    "max_score", "payload")
             # co-locate each bucket in one task before partitionBy write:
             # 16 parquet files instead of tasks×16 tiny ones (driver-side
             # commit time is serial — a measured fixed cost hurting N→4N

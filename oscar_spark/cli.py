@@ -1,0 +1,107 @@
+"""spark-submit entry point (BASELINE.json: "run via spark-submit
+--py-files on a multi-executor cluster").
+
+    zip -r oscar_spark.zip oscar_spark
+    spark-submit --py-files oscar_spark.zip -m oscar_spark.cli ...   # or:
+    spark-submit --py-files oscar_spark.zip oscar_spark/cli.py \\
+        build  --pages <parquet-or-iceberg-path> --index <dir> [--resume]
+        search --index <dir> --query "city + state" [-k 10] [--mode auto]
+        bench  --index <dir> --queries <file>  # one query per line, like
+                                               # oscar-cmd --benchmark
+                                               # (Benchmark.cpp:311-319)
+
+Under spark-submit the cluster master/executors come from the submit
+command (session.get_spark only defaults to local[N] when no master is
+configured).  Locally: `python -m oscar_spark.cli ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="oscar_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--pages", required=True,
+                   help="parquet path of the pages table")
+    b.add_argument("--index", required=True, help="index output dir")
+    b.add_argument("--resume", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", default="auto",
+                   choices=["auto", "brute", "pruned"])
+
+    be = sub.add_parser("bench")
+    be.add_argument("--index", required=True)
+    be.add_argument("--queries", required=True,
+                    help="file with one query per line")
+    be.add_argument("-k", type=int, default=10)
+    be.add_argument("--out", default=None,
+                    help="write per-query CSV here (like <out>.raw)")
+
+    args = ap.parse_args(argv)
+
+    from oscar_spark.session import get_spark
+    spark = get_spark(app=f"oscar-{args.cmd}")
+
+    if args.cmd == "build":
+        from oscar_spark.build.indexer import build_index
+        pages = spark.read.parquet(args.pages)
+        res = build_index(spark, pages, args.index, resume=args.resume)
+        print(json.dumps({
+            "n_docs": res.n_docs, "n_terms": res.n_terms,
+            "n_blocks": res.n_blocks, "elapsed_sec": round(res.elapsed_sec, 2),
+            "docs_per_sec": round(res.docs_per_sec, 1),
+            "resumed_stages": res.resumed_stages,
+            "stage_secs": res.stage_secs}))
+        return 0
+
+    from oscar_spark.serve.executor import SearchEngine
+    eng = SearchEngine(spark, args.index)
+
+    if args.cmd == "search":
+        for doc_id, score in eng.search(args.query, k=args.k,
+                                        mode=args.mode):
+            print(f"{doc_id}\t{score:.6f}")
+        return 0
+
+    # bench: warm mode — each query run twice, second counts
+    # (reference/oscar-cmd/Benchmark.cpp:158)
+    rows = []
+    for line in open(args.queries):
+        q = line.rstrip("\n")
+        if not q:
+            continue
+        t0 = time.time()
+        r = eng.search(q, k=args.k)
+        cold = time.time() - t0
+        t0 = time.time()
+        r = eng.search(q, k=args.k)
+        warm = time.time() - t0
+        rows.append((q, cold, warm, len(r)))
+    times = sorted(x[2] for x in rows)
+    if args.out:
+        import csv
+        with open(args.out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["query", "cold_sec", "warm_sec", "rows"])
+            w.writerows(rows)
+    print(json.dumps({
+        "queries": len(rows),
+        "warm_min": round(times[0], 4), "warm_max": round(times[-1], 4),
+        "warm_mean": round(sum(times) / len(times), 4),
+        "warm_median": round(times[len(times) // 2], 4)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

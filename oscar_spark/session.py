@@ -20,8 +20,14 @@ def get_spark(app: str = "oscar-spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    builder = SparkSession.builder
+    # under spark-submit the master comes from the submit command; only
+    # default to local[N] when none was provided (sandbox/test path)
+    from pyspark import SparkConf
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

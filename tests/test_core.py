@@ -181,3 +181,23 @@ def test_prefix_parse_and_oracle():
     assert idx.eval_node(parser.parse("qu* - dog")) == {0}
     res = idx.search("qu*", k=5)
     assert [d for d, _ in res][0] == 0  # doc 0 matches two expanded terms
+
+
+def test_reference_dont_crash_corpus_literal():
+    """The reference's own adversarial corpus, verbatim
+    (reference/data/tests/oscar-cmd/dont_crash_test.txt)."""
+    import os
+    path = "/root/reference/data/tests/oscar-cmd/dont_crash_test.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    idx = OracleIndex([(0, "marabu nix"), (1, "neugereut marabu")])
+    expected = {
+        "((marabu (( nix))": {0},
+        "+-(%marabu - %+neug)": set(),
+        "()": set(),
+        "marabu + () neugereut": {0, 1},
+        "neugeruet () marabu": set(),  # typo'd term: AND with ∅
+    }
+    for q in open(path):
+        q = q.rstrip("\n")
+        assert idx.eval_node(parser.parse(q)) == expected[q]

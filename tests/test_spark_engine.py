@@ -41,6 +41,7 @@ def test_postings_strictly_increasing_and_block_ranges(spark, built_index):
         assert (np.diff(ids) > 0).all()
         assert ids[0] == r["first_doc"] and ids[-1] == r["last_doc"]
         assert tfs.max() == r["max_tf"]
+        assert dls.min() == r["min_dl"]
         assert (tfs >= 1).all() and (dls >= 1).all()
         assert r["bucket"] == term_bucket(r["term"], NUM_TERM_BUCKETS)
         by_term.setdefault(r["term"], []).append(
@@ -62,7 +63,12 @@ def test_df_matches_postings_and_oracle(spark, built_index, oracle):
 
 
 def test_postings_docs_exist_and_max_score(spark, built_index, oracle):
-    """FIXTURES.md inv 3: doc ids ∈ doc_stats; max_score ≥ block max."""
+    """FIXTURES.md inv 3: doc ids ∈ doc_stats; max_score ≥ true block max.
+
+    max_score is the bm25(max_tf, min_dl, df) upper bound (computed on
+    the blocks table, not per posting) — assert it bounds the true max
+    and equals the pinned formula exactly."""
+    from oscar_spark.functions.bm25 import bm25
     d, _ = built_index
     doc_ids = {r["doc_id"]
                for r in spark.read.parquet(f"{d}/doc_stats").collect()}
@@ -72,7 +78,9 @@ def test_postings_docs_exist_and_max_score(spark, built_index, oracle):
         assert set(ids) <= doc_ids
         true_scores = [oracle.score(int(i), [r["term"]]) for i in ids]
         assert r["max_score"] >= max(true_scores) - 1e-9
-        assert r["max_score"] == pytest.approx(max(true_scores))
+        df_t = oracle.df(r["term"])
+        assert r["max_score"] == pytest.approx(bm25(
+            r["max_tf"], r["min_dl"], df_t, oracle.n_docs, oracle.avgdl))
 
 
 def test_doc_stats_deterministic_order(spark, built_index):
