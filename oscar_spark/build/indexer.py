@@ -105,34 +105,87 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield out
 
 
-def _encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term, range_id) group → posting blocks (sorted, delta+varint).
+def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
+                tfs: np.ndarray, dls: np.ndarray, rows: list) -> None:
+    """Encode a (term, range_id, doc_id)-sorted run of postings into
+    blocks, appending output tuples to `rows`.
+
+    Group boundaries are detected vectorized (one np pass); per group the
+    work is pure numpy slicing + the varint kernel — no per-group pandas
+    frames (measured: tiny applyInPandas groups spent ~mills each on
+    pandas overhead, dominating the whole postings stage).
 
     Mirrors the per-cell sort + strict-monotone invariant of
-    reference/oscar-create/CellTextCompleter.cpp:139-155 (makeConsistent).
-
-    Emits (max_tf, min_dl) per block; max_score is derived LATER on the
-    tiny blocks table as bm25(max_tf, min_dl, df) — a valid block-max
-    upper bound (BM25 ↑ in tf, ↓ in dl) that avoids carrying a per-
-    posting score column (and its df join) through the big shuffle.
+    reference/oscar-create/CellTextCompleter.cpp:139-155 (makeConsistent);
+    emits (max_tf, min_dl); max_score = bm25(max_tf, min_dl, df) is
+    derived later on the tiny blocks table — a valid block-max upper
+    bound (BM25 ↑ in tf, ↓ in dl) that keeps the per-posting pipeline
+    free of any df join or score column.
     """
-    term, range_id = key
-    pdf = pdf.sort_values("doc_id")
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    base = int(range_id) * RANGE_SIZE
-    rows = []
-    for s in range(0, len(ids), BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, len(ids))
-        rows.append((
-            term, int(range_id), int(ids[s]), int(ids[e - 1]), e - s,
-            int(tfs[s:e].max()), int(dls[s:e].min()),
-            encode_block(ids[s:e], tfs[s:e], dls[s:e], base),
-        ))
-    return pd.DataFrame(rows, columns=[
-        "term", "range_id", "first_doc", "last_doc", "doc_count",
-        "max_tf", "min_dl", "payload"])
+    n = len(ids)
+    if n == 0:
+        return
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(terms[1:], terms[:-1], out=change[1:])
+    change[1:] |= rngs[1:] != rngs[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    for gs, ge in zip(starts, ends):
+        term = terms[gs]
+        range_id = int(rngs[gs])
+        base = range_id * RANGE_SIZE
+        for s in range(gs, ge, BLOCK_SIZE):
+            e = min(s + BLOCK_SIZE, ge)
+            rows.append((
+                term, range_id, int(ids[s]), int(ids[e - 1]), e - s,
+                int(tfs[s:e].max()), int(dls[s:e].min()),
+                encode_block(ids[s:e], tfs[s:e], dls[s:e], base),
+            ))
+
+
+_BLOCK_COLS = ["term", "range_id", "first_doc", "last_doc", "doc_count",
+               "max_tf", "min_dl", "payload"]
+
+
+def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition encoder with cross-batch carry-over.
+
+    Input partitions are hash-partitioned on (term, range_id) and sorted
+    by (term, range_id, doc_id) — the Spark shuffle IS the external sort
+    (the OOMGEOCELL mapping, SURVEY §2.5 O5).  Arrow batching may split a
+    group across batches, so the trailing (possibly incomplete) group of
+    each batch is held back and prepended to the next; a group is at most
+    RANGE_SIZE postings, so the carry buffer is bounded.
+    """
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None and len(pending):
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        rngs = pdf["range_id"].to_numpy()
+        last_group = (terms == terms[-1]) & (rngs == rngs[-1])
+        # sorted input ⇒ the trailing group is a suffix
+        cut = len(pdf) - int(last_group[::-1].cumprod().sum())
+        head = pdf.iloc[:cut]
+        pending = pdf.iloc[cut:]
+        if len(head):
+            rows: list = []
+            _encode_run(head["term"].to_numpy(), head["range_id"].to_numpy(),
+                        head["doc_id"].to_numpy(np.int64),
+                        head["tf"].to_numpy(np.int64),
+                        head["dl"].to_numpy(np.int64), rows)
+            yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+    if pending is not None and len(pending):
+        rows = []
+        _encode_run(pending["term"].to_numpy(),
+                    pending["range_id"].to_numpy(),
+                    pending["doc_id"].to_numpy(np.int64),
+                    pending["tf"].to_numpy(np.int64),
+                    pending["dl"].to_numpy(np.int64), rows)
+        yield pd.DataFrame(rows, columns=_BLOCK_COLS)
 
 
 @dataclass
@@ -230,8 +283,17 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             .withColumn("range_id",
                         (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
         )
-        blocks = postings_raw.groupBy("term", "range_id").applyInPandas(
-            _encode_group, BLOCKS_SCHEMA)
+        # the one big shuffle: hash-partition by (term, range_id), sort
+        # within partitions — Spark's shuffle-with-spill is the external
+        # sort (O5) — then encode whole partitions with a carry-over
+        # mapInPandas (per-group applyInPandas overhead dominated this
+        # stage: ~115-row groups x ~ms of pandas each)
+        n_enc = max(spark.sparkContext.defaultParallelism,
+                    int(spark.conf.get("spark.sql.shuffle.partitions")))
+        blocks = (postings_raw
+                  .repartition(n_enc, "term", "range_id")
+                  .sortWithinPartitions("term", "range_id", "doc_id")
+                  .mapInPandas(_encode_partition, BLOCKS_SCHEMA))
         # everything below runs on the TINY blocks table (~df/BLOCK_SIZE
         # rows): df per term, the block-max upper bound, and the phase-2
         # merge (global block numbering per term via window)

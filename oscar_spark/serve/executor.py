@@ -268,8 +268,11 @@ class SearchEngine:
                 self._blocks(present, meta_only=False), dfmap,
                 len(terms) if shape == "and" else None, local_k=k)
         else:
+            # cached: the set-algebra tree references `decoded` once per
+            # leaf plus once for scoring — uncached, Spark re-decodes the
+            # blocks for every reference inside the single job
             decoded = self._decoded([t for t in terms if dfmap.get(t, 0) > 0],
-                                    dfmap)
+                                    dfmap).cache()
             docs = self._eval_node(node, decoded)
             result = (decoded.join(docs, "doc_id")
                       .groupBy("doc_id").agg(F.sum("score").alias("score")))
