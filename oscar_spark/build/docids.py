@@ -47,6 +47,16 @@ def assign_doc_ids_ranged(doc_lens: DataFrame,
               .repartitionByRange(num_partitions, *_order())
               .sortWithinPartitions(*_order())
               .withColumn("_pid", F.spark_partition_id()))
+    # PIN the computed partitions: repartitionByRange samples its
+    # boundaries per job, so the manifest job below and the assign job
+    # would otherwise each draw their OWN boundaries — overlapping /
+    # gapped offsets and duplicate doc_ids (caught by the strict-monotone
+    # block invariant at 40k docs).  localCheckpoint materializes the
+    # ranged partitions once; both jobs read the same layout.  (Real
+    # cluster: a reliable checkpoint dir / the committed Iceberg
+    # partition manifest plays this role — executor loss must not
+    # re-sample.)
+    ranged = ranged.localCheckpoint(eager=True)
     # the committed partition manifest: pid → row count (tiny collect)
     counts = {r["_pid"]: r["n"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}

@@ -9,9 +9,10 @@ reference/oscar-create/readwritefuncs.cpp:340-394).
 
 Spark plan (one declarative DAG; Catalyst handles what oscar hand-built):
 
-    pages ──mapInPandas (tokenize+tf, map-side combine)──▶ (url, term, tf, dl)
-      │                                                     │
-      └─▶ doc_stats: quality sort → row_number → doc_id ◀──join(url)
+    pages ──mapInPandas (tokenize+tf, map-side combine)──▶ tokens parquet
+      │        (checkpointed ONCE; both stages below re-read it)
+      └─▶ doc_stats: range-partitioned quality sort → doc_id
+                                     ◀── broadcast join(url) while small
                                                             │
     terms: groupBy(term).count() = df     N, avgdl (2 scalar aggs)
                                                             │
@@ -54,7 +55,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oscar_spark.config import BLOCK_SIZE, NUM_TERM_BUCKETS, RANGE_SIZE
+from oscar_spark.build.docids import assign_doc_ids_ranged
+from oscar_spark.config import (BLOCK_SIZE, BROADCAST_DOCID_MAX,
+                                NUM_TERM_BUCKETS, RANGE_SIZE)
 from oscar_spark.functions.bm25 import bm25_sql
 from oscar_spark.functions.codec import encode_block
 from oscar_spark.functions.extract import extract_series
@@ -239,30 +242,39 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     _mark("fingerprint")
     resumed: list[str] = []
 
-    tokens = None  # (url, term, tf, dl), lazily defined
-
-    def make_tokens() -> DataFrame:
-        # cached: stage 1 (doc lengths) and stage 2 (postings) both read
-        # it — without the cache the corpus is tokenized twice
-        return pages.select("url", "text").mapInPandas(
-            _tokenize_batches, TOKENS_SCHEMA).cache()
+    # ---- stage 0: tokens checkpoint ----
+    # Tokenize EXACTLY once and checkpoint to parquet.  Two downstream
+    # stages (doc_stats, postings) re-read it as cheap columnar scans.
+    # Previously this was .cache(): at corpus sizes where the cached
+    # token table exceeded storage memory, partitions were evicted and
+    # SILENTLY RE-TOKENIZED during the postings shuffle — more often at
+    # higher core counts (more concurrent execution memory), which
+    # inverted N→4N scaling.  A parquet checkpoint makes the cost flat,
+    # disk-backed, fully parallel, and doubles as a resume snapshot
+    # (store→store re-import, reference/oscar-create/oscarcreate.cpp:86-116).
+    if resume and store.committed("tokens", fp):
+        resumed.append("tokens")
+    else:
+        store.write(pages.select("url", "text").mapInPandas(
+            _tokenize_batches, TOKENS_SCHEMA), "tokens")
+        store.commit("tokens", fp)
+    _mark("tokens")
+    tokens = store.read(spark, "tokens")
 
     # ---- stage 1: doc_stats (docID = rank by static quality; analog of
     # applySort score ordering, OsmKeyValueObjectStore.cpp:1339-1399) ----
     if resume and store.committed("doc_stats", fp):
         resumed.append("doc_stats")
     else:
-        tokens = make_tokens()
+        # all rows of a url share one dl and live in one input partition,
+        # so the groupBy is a map-side partial agg: ~n_docs rows shuffle
         doc_lens = tokens.groupBy("url").agg(
             F.first("dl").alias("doc_len"))
         # quality := doc_len (pinned static score for the fixture corpus)
-        w = Window.orderBy(F.desc("quality"), F.asc("url"))
-        doc_stats = (
-            doc_lens
-            .withColumn("quality", F.col("doc_len").cast("double"))
-            .withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
-            .select("doc_id", "url", "doc_len", "quality")
-        )
+        doc_stats = assign_doc_ids_ranged(
+            doc_lens.withColumn("quality", F.col("doc_len").cast("double")),
+            num_partitions=max(spark.sparkContext.defaultParallelism, 8),
+        ).select("doc_id", "url", "doc_len", "quality")
         store.write(doc_stats, "doc_stats")
         store.commit("doc_stats", fp)
     _mark("doc_stats")
@@ -275,11 +287,16 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     if resume and store.committed("postings", fp):
         resumed.append("postings")
     else:
-        if tokens is None:
-            tokens = make_tokens()
+        doc_ids = doc_stats.select("url", "doc_id")
+        if n_docs <= BROADCAST_DOCID_MAX:
+            # url→doc_id fits comfortably in a broadcast: the big token
+            # table then shuffles ONCE (by term,range) instead of twice
+            doc_ids = F.broadcast(doc_ids)
+        # else: plain shuffle join; at 10^12 docs the doc_id map is
+        # itself big, and AQE picks the join strategy
         postings_raw = (
             tokens.filter(F.col("term").isNotNull())
-            .join(doc_stats.select("url", "doc_id"), "url")
+            .join(doc_ids, "url")
             .withColumn("range_id",
                         (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
         )
@@ -330,20 +347,20 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     else:
         terms = (
             postings.groupBy("bucket", "term")
-            .agg(F.sum("doc_count").cast("long").alias("df"))
+            .agg(F.sum("doc_count").cast("long").alias("df"),
+                 F.count("*").cast("long").alias("n_blocks"))
         )
         store.write(terms, "terms", partition_by=["bucket"])
         store.commit("terms", fp)
     _mark("terms")
     terms = store.read(spark, "terms")
 
-    if tokens is not None:
-        tokens.unpersist()
-    # one job: per-bucket stats double as lineage rows AND global counts
-    bucket_stats = postings.groupBy("bucket").agg(
-        F.sum("doc_count").alias("rows_in"),
-        F.countDistinct("term").alias("terms_out"),
-        F.count("*").alias("blocks_out")).collect()
+    # per-bucket stats from the TINY terms table (not a postings rescan):
+    # they double as lineage rows AND global counts
+    bucket_stats = terms.groupBy("bucket").agg(
+        F.sum("df").alias("rows_in"),
+        F.count("*").alias("terms_out"),
+        F.sum("n_blocks").alias("blocks_out")).collect()
     n_terms = sum(r["terms_out"] for r in bucket_stats)
     n_blocks = sum(r["blocks_out"] for r in bucket_stats)
     elapsed = time.time() - t0

@@ -34,6 +34,10 @@ TOKEN_SPLIT_RE: str = "[^a-z0-9]+"
 BLOCK_SIZE: int = 128          # max docs per posting block
 RANGE_SIZE: int = 8192         # docs per range (cell analog + salt unit)
 NUM_TERM_BUCKETS: int = 16     # bucket(term) partitioning of index tables
+# broadcast the url→doc_id map into the postings join while it fits in
+# executor memory; above this the build falls back to a shuffle join
+# (at 10^12 docs the map is itself a big table)
+BROADCAST_DOCID_MAX: int = 20_000_000
 
 # --- score comparison ---
 SCORE_ROUND: int = 4           # decimals when hashing/comparing scores

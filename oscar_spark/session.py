@@ -16,15 +16,22 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "oscar-spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # An EXPLICIT cores argument always forces the master.  A stopped
+    # SparkContext leaves `spark.master` behind as a JVM system property,
+    # so "set master only when absent" silently reuses the PREVIOUS
+    # session's parallelism for every later session in the same process —
+    # this inverted an entire N-vs-4N scaling measurement (both legs ran
+    # at the first session's core count; efficiency ≈ 1/4 exactly).
+    force_master = cores is not None
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
     builder = SparkSession.builder
     # under spark-submit the master comes from the submit command; only
-    # default to local[N] when none was provided (sandbox/test path)
+    # default to local[N] when none was provided (cores=None, CLI path)
     from pyspark import SparkConf
-    if not SparkConf().contains("spark.master"):
+    if force_master or not SparkConf().contains("spark.master"):
         builder = builder.master(f"local[{cores}]")
     builder = (
         builder

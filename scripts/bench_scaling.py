@@ -55,7 +55,27 @@ def _BURN(k):
 
 
 def run_build(cores: int, pages_path: str, out_dir: str) -> dict:
-    """One fresh JVM at local[cores]: timed build + timed serve."""
+    """Run one leg in a FRESH subprocess (own JVM).
+
+    In-process back-to-back sessions are not isolated: a stopped
+    SparkContext leaves spark.master in the JVM system properties, and
+    heap/GC state carries over — each leg must be its own process for
+    the N-vs-4N comparison to measure what it claims.
+    """
+    import subprocess
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         "--cores", str(cores), "--pages-path", pages_path,
+         "--out-dir", out_dir],
+        env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
+    """One JVM at local[cores]: timed build + timed serve."""
     from oscar_spark.session import get_spark
     from oscar_spark.build.indexer import build_index
     from oscar_spark.serve.executor import SearchEngine
@@ -91,6 +111,7 @@ def run_build(cores: int, pages_path: str, out_dir: str) -> dict:
         "docs_per_sec": round(res.n_docs / build_sec, 1),
         "n_terms": res.n_terms,
         "n_blocks": res.n_blocks,
+        "stages": res.stage_secs,
         "latencies": latencies,
     }
 
@@ -101,7 +122,16 @@ def main() -> None:
                     default=int(os.environ.get("BENCH_PAGES", "40000")))
     ap.add_argument("--n", type=int, default=8,
                     help="N cores; 4N is run as well")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--cores", type=int, help=argparse.SUPPRESS)
+    ap.add_argument("--pages-path", help=argparse.SUPPRESS)
+    ap.add_argument("--out-dir", help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.child:
+        print(json.dumps(child_build(args.cores, args.pages_path,
+                                     args.out_dir)))
+        return
 
     os.makedirs("BENCH", exist_ok=True)
 
