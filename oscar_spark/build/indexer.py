@@ -59,7 +59,7 @@ from oscar_spark.build.docids import assign_doc_ids_ranged
 from oscar_spark.config import (BLOCK_SIZE, BROADCAST_DOCID_MAX,
                                 NUM_TERM_BUCKETS, RANGE_SIZE)
 from oscar_spark.functions.bm25 import bm25_sql
-from oscar_spark.functions.codec import encode_block
+from oscar_spark.functions.codec import encode_runs
 from oscar_spark.functions.extract import extract_series
 from oscar_spark.functions.tokenize import tokenize_series
 from oscar_spark.sources.tables import IndexStore
@@ -109,14 +109,16 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
-                tfs: np.ndarray, dls: np.ndarray, rows: list) -> None:
+                tfs: np.ndarray, dls: np.ndarray) -> pd.DataFrame:
     """Encode a (term, range_id, doc_id)-sorted run of postings into
-    blocks, appending output tuples to `rows`.
+    posting-block rows via the single-pass batched codec.
 
-    Group boundaries are detected vectorized (one np pass); per group the
-    work is pure numpy slicing + the varint kernel — no per-group pandas
-    frames (measured: tiny applyInPandas groups spent ~mills each on
-    pandas overhead, dominating the whole postings stage).
+    The whole run — group detection, delta reset, varint bytes, per-block
+    (max_tf, min_dl) metadata — is ~15 numpy passes total (codec.
+    encode_runs); per-block Python work is one bytes slice.  Earlier
+    shapes measured: per-group applyInPandas ~ms/group of pandas
+    overhead; per-block encode_block calls ~50µs/block of numpy dispatch
+    — both dominated the stage at bench scale.
 
     Mirrors the per-cell sort + strict-monotone invariant of
     reference/oscar-create/CellTextCompleter.cpp:139-155 (makeConsistent);
@@ -125,30 +127,8 @@ def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     bound (BM25 ↑ in tf, ↓ in dl) that keeps the per-posting pipeline
     free of any df join or score column.
     """
-    n = len(ids)
-    if n == 0:
-        return
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    np.not_equal(terms[1:], terms[:-1], out=change[1:])
-    change[1:] |= rngs[1:] != rngs[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], n)
-    for gs, ge in zip(starts, ends):
-        term = terms[gs]
-        range_id = int(rngs[gs])
-        base = range_id * RANGE_SIZE
-        for s in range(gs, ge, BLOCK_SIZE):
-            e = min(s + BLOCK_SIZE, ge)
-            rows.append((
-                term, range_id, int(ids[s]), int(ids[e - 1]), e - s,
-                int(tfs[s:e].max()), int(dls[s:e].min()),
-                encode_block(ids[s:e], tfs[s:e], dls[s:e], base),
-            ))
-
-
-_BLOCK_COLS = ["term", "range_id", "first_doc", "last_doc", "doc_count",
-               "max_tf", "min_dl", "payload"]
+    return pd.DataFrame(encode_runs(
+        terms, rngs, ids, tfs, dls, BLOCK_SIZE, RANGE_SIZE))
 
 
 def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,20 +155,17 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         head = pdf.iloc[:cut]
         pending = pdf.iloc[cut:]
         if len(head):
-            rows: list = []
-            _encode_run(head["term"].to_numpy(), head["range_id"].to_numpy(),
-                        head["doc_id"].to_numpy(np.int64),
-                        head["tf"].to_numpy(np.int64),
-                        head["dl"].to_numpy(np.int64), rows)
-            yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+            yield _encode_run(
+                head["term"].to_numpy(), head["range_id"].to_numpy(),
+                head["doc_id"].to_numpy(np.int64),
+                head["tf"].to_numpy(np.int64),
+                head["dl"].to_numpy(np.int64))
     if pending is not None and len(pending):
-        rows = []
-        _encode_run(pending["term"].to_numpy(),
-                    pending["range_id"].to_numpy(),
-                    pending["doc_id"].to_numpy(np.int64),
-                    pending["tf"].to_numpy(np.int64),
-                    pending["dl"].to_numpy(np.int64), rows)
-        yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+        yield _encode_run(
+            pending["term"].to_numpy(), pending["range_id"].to_numpy(),
+            pending["doc_id"].to_numpy(np.int64),
+            pending["tf"].to_numpy(np.int64),
+            pending["dl"].to_numpy(np.int64))
 
 
 @dataclass
@@ -305,7 +282,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         # sort (O5) — then encode whole partitions with a carry-over
         # mapInPandas (per-group applyInPandas overhead dominated this
         # stage: ~115-row groups x ~ms of pandas each)
-        n_enc = max(spark.sparkContext.defaultParallelism,
+        # 4 encode tasks per core: the (term, range_id) hash is mildly
+        # skewed, and coarse tasks leave cores idle behind stragglers
+        n_enc = max(spark.sparkContext.defaultParallelism * 4,
                     int(spark.conf.get("spark.sql.shuffle.partitions")))
         blocks = (postings_raw
                   .repartition(n_enc, "term", "range_id")

@@ -81,7 +81,7 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
     from oscar_spark.serve.executor import SearchEngine
 
     spark = get_spark(app=f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores * 2, 8))
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
     pages.count()  # warm the file listing/footers so build timing is compute
@@ -148,7 +148,9 @@ def main() -> None:
         for ci, start in enumerate(range(0, args.pages, chunk)):
             n = min(chunk, args.pages - start)
             df = pages_spark_df(spark, n, seed=42 + ci, start_index=start)
-            df.repartition(args.n).write.mode("append").parquet(pages_path)
+            # write enough files that even the 4N leg gets full scan
+            # parallelism (input splits must not cap the bigger leg)
+            df.repartition(args.n * 4).write.mode("append").parquet(pages_path)
             print(f"  chunk {ci}: {start + n}/{args.pages}", file=sys.stderr)
         spark.stop()
 
