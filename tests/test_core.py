@@ -56,6 +56,49 @@ def test_block_rejects_unsorted():
         encode_block(np.array([5, 5]), np.array([1, 1]), np.array([1, 1]), 0)
 
 
+@given(st.integers(min_value=1, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_encode_runs_matches_per_block(seed):
+    """Batched single-pass encoder == per-block encode_block, byte for
+    byte, including metadata — across random (term, range, ids) runs."""
+    from oscar_spark.config import BLOCK_SIZE, RANGE_SIZE
+    from oscar_spark.functions.codec import encode_runs
+    rng = np.random.RandomState(seed)
+    rows = []
+    for t in range(rng.randint(1, 30)):
+        term = f"t{t:03d}"
+        n = rng.randint(1, 400)
+        ids = np.sort(rng.choice(3 * RANGE_SIZE, size=n, replace=False))
+        rows.extend((term, int(i) // RANGE_SIZE, int(i)) for i in ids)
+    rows.sort()
+    terms = np.array([r[0] for r in rows], dtype=object)
+    rngs = np.array([r[1] for r in rows], dtype=np.int64)
+    ids = np.array([r[2] for r in rows], dtype=np.int64)
+    tfs = rng.randint(1, 50, len(ids)).astype(np.int64)
+    dls = rng.randint(1, 500, len(ids)).astype(np.int64)
+    out = encode_runs(terms, rngs, ids, tfs, dls, BLOCK_SIZE, RANGE_SIZE)
+    # reference: per-(term,range) group, per-BLOCK_SIZE chunk
+    i, k, n = 0, 0, len(ids)
+    while i < n:
+        j = i
+        while j < n and terms[j] == terms[i] and rngs[j] == rngs[i]:
+            j += 1
+        base = int(rngs[i]) * RANGE_SIZE
+        for s in range(i, j, BLOCK_SIZE):
+            e = min(s + BLOCK_SIZE, j)
+            assert out["term"][k] == terms[i]
+            assert out["first_doc"][k] == ids[s]
+            assert out["last_doc"][k] == ids[e - 1]
+            assert out["doc_count"][k] == e - s
+            assert out["max_tf"][k] == tfs[s:e].max()
+            assert out["min_dl"][k] == dls[s:e].min()
+            assert out["payload"][k] == encode_block(
+                ids[s:e], tfs[s:e], dls[s:e], base)
+            k += 1
+        i = j
+    assert k == len(out["payload"])
+
+
 # ---------- tokenizer (pure vs pandas parity) ----------
 
 @given(st.text(max_size=300))
