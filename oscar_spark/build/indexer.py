@@ -142,7 +142,19 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     RANGE_SIZE postings, so the carry buffer is bounded.
     """
     pending: pd.DataFrame | None = None
-    for pdf in batches:
+    buf: list[pd.DataFrame] = []
+    buf_rows = 0
+    for batch in batches:
+        # accumulate Arrow batches (default ~10k rows) into ~256k-row
+        # units: encode_runs is one vectorized pass whose fixed cost
+        # amortizes over the unit size, while the buffer stays far below
+        # executor memory
+        buf.append(batch)
+        buf_rows += len(batch)
+        if buf_rows < 262144:
+            continue
+        pdf = pd.concat(buf, ignore_index=True)
+        buf, buf_rows = [], 0
         if pending is not None and len(pending):
             pdf = pd.concat([pending, pdf], ignore_index=True)
         if len(pdf) == 0:
@@ -160,12 +172,15 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 head["doc_id"].to_numpy(np.int64),
                 head["tf"].to_numpy(np.int64),
                 head["dl"].to_numpy(np.int64))
-    if pending is not None and len(pending):
-        yield _encode_run(
-            pending["term"].to_numpy(), pending["range_id"].to_numpy(),
-            pending["doc_id"].to_numpy(np.int64),
-            pending["tf"].to_numpy(np.int64),
-            pending["dl"].to_numpy(np.int64))
+    tail = ([pending] if pending is not None and len(pending) else []) + buf
+    if tail:
+        pdf = pd.concat(tail, ignore_index=True)
+        if len(pdf):
+            yield _encode_run(
+                pdf["term"].to_numpy(), pdf["range_id"].to_numpy(),
+                pdf["doc_id"].to_numpy(np.int64),
+                pdf["tf"].to_numpy(np.int64),
+                pdf["dl"].to_numpy(np.int64))
 
 
 @dataclass

@@ -42,10 +42,11 @@ def get_spark(app: str = "oscar-spark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # larger Arrow batches: tokenize/encode UDFs pay a fixed pandas
-        # cost per batch; 10k-row default batches made that cost ~20% of
-        # the UDF stages at bench scale
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # keep the default 10k-row Arrow batches: the tokenizer explodes
+        # each page row ~200×, so larger input batches balloon Python
+        # worker memory (measured: 65536-page batches made the tokenize
+        # stage memory-bound and non-scaling); UDFs that want bigger
+        # units buffer batches internally instead (indexer._encode_partition)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -135,7 +135,11 @@ def main() -> None:
 
     os.makedirs("BENCH", exist_ok=True)
 
-    with tempfile.TemporaryDirectory() as tmp:
+    # tmpfs when available: the measurement targets CPU scaling, and the
+    # reference's planet builds likewise put temp index files on tmpfs
+    # ("fast files", reference/data/configs/oscar-create/krill...json)
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=tmp_base) as tmp:
         pages_path = os.path.join(tmp, "pages")
         # generate once with a throwaway session so both runs read the
         # same parquet input
