@@ -208,7 +208,26 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 
 
 def input_fingerprint(pages: DataFrame) -> str:
-    """Cheap deterministic fingerprint of the input table (resume gate)."""
+    """Cheap deterministic fingerprint of the input table (resume gate).
+
+    File-backed input: hash of the sorted (path, size) manifest — a
+    driver-side listing, no data scan (the Iceberg-snapshot-id analog;
+    at 10^12 docs a content scan just to decide "did the input change"
+    is not acceptable).  In-memory input (tests): content-based scan.
+    """
+    import os
+    import zlib
+    files = sorted(pages.inputFiles())
+    if files:
+        h = 0
+        for f in files:
+            p = f[7:] if f.startswith("file:") else f
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = -1
+            h = zlib.crc32(f"{f}|{size};".encode(), h)
+        return f"m{len(files)}-{h:08x}"
     row = pages.select(
         F.count("*").alias("n"),
         F.sum(F.crc32(F.col("url"))).alias("u"),
@@ -305,14 +324,27 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                   .repartition(n_enc, "term", "range_id")
                   .sortWithinPartitions("term", "range_id", "doc_id")
                   .mapInPandas(_encode_partition, BLOCKS_SCHEMA))
+        # PHASE-1 CHECKPOINT (the explicit two-phase merge): blocks is
+        # consumed twice below (df aggregation AND the join probe), and
+        # Catalyst re-executes the whole shuffle+encode per consumer —
+        # measured as the postings stage costing ~2.5× its single-pass
+        # parts.  Materialize the partial runs once (~rows/BLOCK_SIZE
+        # rows); phase 2 then runs entirely on the tiny table.  This is
+        # also a resume point, mirroring oscar's OOM partial sorted runs
+        # (reference/oscar-create/readwritefuncs.cpp:340-394).
+        store.write(blocks, "postings_p1")
+        blocks = store.read(spark, "postings_p1")
         # everything below runs on the TINY blocks table (~df/BLOCK_SIZE
         # rows): df per term, the block-max upper bound, and the phase-2
-        # merge (global block numbering per term via window)
-        dfs = blocks.groupBy("term").agg(
-            F.sum("doc_count").cast("long").alias("df"))
+        # merge (global block numbering per term via window).  df comes
+        # from a window over the SAME term partitioning as block_id, so
+        # phase 2 is one shuffle — no separate aggregate job + join
+        # (which would also re-execute their input once each)
+        wt = Window.partitionBy("term")
         bw = Window.partitionBy("term").orderBy("first_doc")
         final_blocks = (
-            blocks.join(dfs, "term")
+            blocks
+            .withColumn("df", F.sum("doc_count").over(wt).cast("long"))
             .withColumn("max_score", F.expr(bm25_sql(
                 "max_tf", "min_dl", "df",
                 str(float(n_docs)), repr(avgdl))))

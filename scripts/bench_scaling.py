@@ -62,15 +62,23 @@ def run_build(cores: int, pages_path: str, out_dir: str) -> dict:
     heap/GC state carries over — each leg must be its own process for
     the N-vs-4N comparison to measure what it claims.
     """
+    import shutil as _shutil
     import subprocess
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child",
-         "--cores", str(cores), "--pages-path", pages_path,
-         "--out-dir", out_dir],
-        env=env, capture_output=True, text=True, check=True)
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--cores", str(cores), "--pages-path", pages_path,
+           "--out-dir", out_dir]
+    # PIN the leg to exactly `cores` CPUs.  local[N] bounds TASK SLOTS,
+    # not CPU: the JVM's GC/shuffle/netty threads and the Python UDF
+    # workers of a "local[2]" run happily use 4+ physical cores of an
+    # idle machine, inflating the small leg and corrupting the N-vs-4N
+    # ratio.  A cpuset is the honest stand-in for an N-executor cluster.
+    if _shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
