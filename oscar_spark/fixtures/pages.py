@@ -131,3 +131,27 @@ def pages_spark_df(spark, n_rows: int, seed: int = FIXTURE_SEED,
     """pages fixture as a Spark DataFrame with the pinned schema."""
     pdf = generate_pages(n_rows, seed=seed, start_index=start_index)
     return spark.createDataFrame(pdf, schema=pages_schema())
+
+
+def pages_spark_df_dist(spark, n_rows: int, base_seed: int = 42,
+                        chunk: int = 40000):
+    """Distributed fixture generation: chunk i = generate_pages(seed=
+    base_seed+i, start_index=i*chunk), produced on executors in parallel.
+
+    Byte-identical to the chunked driver-side protocol the benches used
+    (chunk ci uses seed 42+ci), but generation scales with cores instead
+    of serializing on the driver (~4.5 min for 240k pages driver-side).
+    """
+    specs = []
+    for ci, start in enumerate(range(0, n_rows, chunk)):
+        specs.append((base_seed + ci, start, min(chunk, n_rows - start)))
+    sdf = spark.createDataFrame(specs, "seed int, start long, n int") \
+               .repartition(len(specs), "seed")
+
+    def gen(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                yield generate_pages(int(r["n"]), seed=int(r["seed"]),
+                                     start_index=int(r["start"]))
+
+    return sdf.mapInPandas(gen, pages_schema())
