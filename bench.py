@@ -9,7 +9,7 @@ deterministic pages fixture and block-max-pruned BM25 top-k serve.
 Env knobs:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    (default 32)
-  BENCH_PAGES         (default 20000)  pages-fixture size for build/serve
+  BENCH_PAGES         (default 100000) pages-fixture size for build/serve
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from oscar_spark.session import get_spark
@@ -53,14 +53,18 @@ def main() -> None:
 
     # --- the real engine: build + pruned serve over the pages fixture ---
     from oscar_spark.build.indexer import build_index
-    from oscar_spark.fixtures.pages import pages_spark_df
     from oscar_spark.serve.executor import SearchEngine
 
-    with tempfile.TemporaryDirectory() as d:
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=tmp_base) as d:
         t0 = time.time()
-        pages = pages_spark_df(spark, n_pages).repartition(cpus).cache()
-        pages.count()
+        from oscar_spark.fixtures.pages import pages_spark_df_dist
+        pages_path = os.path.join(d, "pages")
+        pages_spark_df_dist(spark, n_pages, chunk=10000) \
+            .write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
         timings["pages_gen"] = round(time.time() - t0, 3)
+        d = os.path.join(d, "idx")
 
         t0 = time.time()
         res = build_index(spark, pages, d)
