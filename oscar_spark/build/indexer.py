@@ -310,6 +310,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             .join(doc_ids, "url")
             .withColumn("range_id",
                         (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
+            # url is join-only: drop it BEFORE the big shuffle (a ~45-byte
+            # string per posting row would be ~40% of the shuffle bytes)
+            .select("term", "range_id", "doc_id", "tf", "dl")
         )
         # the one big shuffle: hash-partition by (term, range_id), sort
         # within partitions — Spark's shuffle-with-spill is the external
