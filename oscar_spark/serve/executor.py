@@ -68,6 +68,12 @@ def _tree_shape(node) -> str:
 
 
 class SearchEngine:
+    # preload the term dictionary driver-side below this many terms: it
+    # removes one Spark job per query (and the prefix-scan job).  The
+    # analog of oscar mmap-ing the trie into the server process; above
+    # the cap we fall back to the bucket-pruned Spark lookup.
+    TERMS_PRELOAD_MAX = 2_000_000
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.store = IndexStore(index_dir)
@@ -78,6 +84,12 @@ class SearchEngine:
             F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
         self.n_docs = int(row["n"])
         self.avgdl = float(row["a"]) if row["a"] is not None else 0.0
+        self._term_df: dict[str, int] | None = None
+        self._term_sorted: list[str] | None = None
+        if self.terms.count() <= self.TERMS_PRELOAD_MAX:
+            rows = self.terms.select("term", "df").collect()
+            self._term_df = {r["term"]: int(r["df"]) for r in rows}
+            self._term_sorted = sorted(self._term_df)
 
     # ---- memory control (S7: Worker::lockMemory/dropMemory analog,
     # reference/oscar-cmd/Workfunctions.cpp:781-820 — mmap+mlock becomes
@@ -97,6 +109,15 @@ class SearchEngine:
     # prefix-range-partitioned terms mirror would restore pruning) ----
     def expand_prefix(self, stem: str) -> list[str]:
         from oscar_spark.config import MAX_PREFIX_EXPAND
+        if self._term_sorted is not None:
+            import bisect
+            lo = bisect.bisect_left(self._term_sorted, stem)
+            out = []
+            for t in self._term_sorted[lo:lo + MAX_PREFIX_EXPAND]:
+                if not t.startswith(stem):
+                    break
+                out.append(t)
+            return out
         rows = (self.terms.filter(F.col("term").startswith(stem))
                 .select("term").orderBy("term")
                 .limit(MAX_PREFIX_EXPAND).collect())
@@ -120,6 +141,8 @@ class SearchEngine:
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
+        if self._term_df is not None:
+            return {t: self._term_df[t] for t in terms if t in self._term_df}
         buckets = sorted({_bucket_of(t) for t in terms})
         rows = (self.terms
                 .filter(F.col("bucket").isin(buckets))
