@@ -65,8 +65,13 @@ from oscar_spark.functions.tokenize import tokenize_series
 from oscar_spark.sources.tables import IndexStore
 
 TOKENS_SCHEMA = "url string, term string, tf int, dl int"
+# the big shuffle and the encode UDF carry a dictionary-encoded term id
+# (tid), not the term string — oscar's string-table move
+# (reference/oscar-create/OsmKeyValueObjectStore.cpp:1509-1517): posting
+# rows drop ~40% of their shuffle/Arrow bytes and the encoder's group
+# boundary detection becomes int64 compares
 BLOCKS_SCHEMA = (
-    "term string, range_id long, first_doc long, last_doc long, "
+    "tid long, range_id long, first_doc long, last_doc long, "
     "doc_count int, max_tf int, min_dl int, payload binary"
 )
 
@@ -128,7 +133,8 @@ def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     free of any df join or score column.
     """
     return pd.DataFrame(encode_runs(
-        terms, rngs, ids, tfs, dls, BLOCK_SIZE, RANGE_SIZE))
+        terms, rngs, ids, tfs, dls, BLOCK_SIZE, RANGE_SIZE)) \
+        .rename(columns={"term": "tid"})
 
 
 def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,7 +165,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             pdf = pd.concat([pending, pdf], ignore_index=True)
         if len(pdf) == 0:
             continue
-        terms = pdf["term"].to_numpy()
+        terms = pdf["tid"].to_numpy()
         rngs = pdf["range_id"].to_numpy()
         last_group = (terms == terms[-1]) & (rngs == rngs[-1])
         # sorted input ⇒ the trailing group is a suffix
@@ -168,7 +174,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         pending = pdf.iloc[cut:]
         if len(head):
             yield _encode_run(
-                head["term"].to_numpy(), head["range_id"].to_numpy(),
+                head["tid"].to_numpy(), head["range_id"].to_numpy(),
                 head["doc_id"].to_numpy(np.int64),
                 head["tf"].to_numpy(np.int64),
                 head["dl"].to_numpy(np.int64))
@@ -177,7 +183,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         pdf = pd.concat(tail, ignore_index=True)
         if len(pdf):
             yield _encode_run(
-                pdf["term"].to_numpy(), pdf["range_id"].to_numpy(),
+                pdf["tid"].to_numpy(), pdf["range_id"].to_numpy(),
                 pdf["doc_id"].to_numpy(np.int64),
                 pdf["tf"].to_numpy(np.int64),
                 pdf["dl"].to_numpy(np.int64))
@@ -305,14 +311,31 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             doc_ids = F.broadcast(doc_ids)
         # else: plain shuffle join; at 10^12 docs the doc_id map is
         # itself big, and AQE picks the join strategy
+        # term dictionary: term → dense tid (oscar's key/value string
+        # tables).  The distinct is map-side partial (one row per term
+        # per partition), the id window runs over the SMALL dict.  At
+        # 10^9+ terms this window becomes the ranged assignment used for
+        # doc_ids (docids.assign_doc_ids_ranged — same seam).
+        term_dict = (
+            tokens.filter(F.col("term").isNotNull())
+            .select("term").distinct()
+            .withColumn("tid", F.row_number().over(
+                Window.orderBy("term")).cast("long") - 1)
+        )
+        # materialize once: the dict is joined twice (posting rows, then
+        # term restoration on the blocks table) and would otherwise
+        # re-scan tokens for its distinct both times
+        term_dict = F.broadcast(term_dict.localCheckpoint(eager=True))
         postings_raw = (
             tokens.filter(F.col("term").isNotNull())
             .join(doc_ids, "url")
+            .join(term_dict, "term")
             .withColumn("range_id",
                         (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
-            # url is join-only: drop it BEFORE the big shuffle (a ~45-byte
-            # string per posting row would be ~40% of the shuffle bytes)
-            .select("term", "range_id", "doc_id", "tf", "dl")
+            # url and term are join-only: drop them BEFORE the big
+            # shuffle (their ~55 string bytes per posting row would be
+            # over half the shuffle/Arrow traffic)
+            .select("tid", "range_id", "doc_id", "tf", "dl")
         )
         # the one big shuffle: hash-partition by (term, range_id), sort
         # within partitions — Spark's shuffle-with-spill is the external
@@ -324,8 +347,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         n_enc = max(spark.sparkContext.defaultParallelism * 4,
                     int(spark.conf.get("spark.sql.shuffle.partitions")))
         blocks = (postings_raw
-                  .repartition(n_enc, "term", "range_id")
-                  .sortWithinPartitions("term", "range_id", "doc_id")
+                  .repartition(n_enc, "tid", "range_id")
+                  .sortWithinPartitions("tid", "range_id", "doc_id")
                   .mapInPandas(_encode_partition, BLOCKS_SCHEMA))
         # PHASE-1 CHECKPOINT (the explicit two-phase merge): blocks is
         # consumed twice below (df aggregation AND the join probe), and
@@ -343,8 +366,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         # from a window over the SAME term partitioning as block_id, so
         # phase 2 is one shuffle — no separate aggregate job + join
         # (which would also re-execute their input once each)
-        wt = Window.partitionBy("term")
-        bw = Window.partitionBy("term").orderBy("first_doc")
+        wt = Window.partitionBy("tid")
+        bw = Window.partitionBy("tid").orderBy("first_doc")
         final_blocks = (
             blocks
             .withColumn("df", F.sum("doc_count").over(wt).cast("long"))
@@ -352,6 +375,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 "max_tf", "min_dl", "df",
                 str(float(n_docs)), repr(avgdl))))
             .withColumn("block_id", F.row_number().over(bw) - 1)
+            # restore the term string from the broadcast dict only on the
+            # tiny blocks table, after all heavy movement
+            .join(term_dict, "tid")
             .withColumn("bucket", F.pmod(F.hash("term"),
                                          F.lit(NUM_TERM_BUCKETS)))
             .select("bucket", "term", "block_id", "range_id", "first_doc",
