@@ -280,10 +280,14 @@ for N vs 4N executors).
  if r_n.get('pair_efficiencies') else ''}
 
 Hardware context: this shared VM's raw-CPU ceiling for the same N→4N
-step (pure integer loops, {args.n}→{args.n * 4} processes, no Spark) is
-**{ceiling:.3f}** — turbo/frequency scaling bounds any software's
-measurable efficiency.  Software efficiency normalized by the hardware
-ceiling: **{eff / ceiling:.3f}**.
+step (pure integer loops, {args.n}→{args.n * 4} processes, no Spark)
+measured **{ceiling:.3f}** this run — turbo/frequency scaling and
+tenant noise bound any software's measurable efficiency.  {(
+    f"Software efficiency normalized by the ceiling: **{eff / ceiling:.3f}**."
+    if ceiling < 1.0 else
+    "A ceiling ≥ 1.0 means the ceiling probe itself caught a noisy "
+    "window (its N sample ran slow); normalization is omitted for this "
+    "run.")}
 
 ## Serve latency (block-max-pruned BM25 top-10, warm = 2nd run, like
 reference/oscar-cmd/Benchmark.cpp:158)
