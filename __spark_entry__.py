@@ -15,7 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oscar_spark.operators import dedup, relational, similarity, textstats
+from oscar_spark.operators import (dedup, multimodal, relational,
+                                   similarity, textstats)
 from oscar_spark.operators import fulltext_sql as fts
 
 SF1 = "/root/testdata/sf0.001"
@@ -55,6 +56,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk(s, d, 0, 10),
         "sim_ann_lsh": lambda s, d: similarity.ann_lsh_topk(s, d, 0, 10),
         "sim_label_centroids": similarity.label_centroids,
+        # --- multimodal plumbing (binary payload → features; stubbed
+        # decode is a deterministic fake, so it still gets a full value
+        # oracle) ---
+        "mm_features": multimodal.media_features_q,
+        "mm_frame_sample": multimodal.frame_sample_q,
         # --- text analysis ---
         "text_lang_id": textstats.lang_id,
         "text_quality": textstats.quality_score,
@@ -98,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": similarity.cosine_topk_sql(0, 10),
         "sim_ann_lsh": similarity.ann_lsh_topk_sql(0, 10),
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "mm_features": multimodal.MEDIA_FEATURES_SQL,
+        "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_quality": textstats.QUALITY_SQL,
         "text_token_counts": textstats.TOKEN_COUNTS_SQL,

@@ -48,13 +48,14 @@ def _decode_features(pdf: pd.DataFrame) -> pd.DataFrame:
     feats, digests, sizes = [], [], []
     for payload in pdf["payload"]:
         b = bytes(payload)
-        digests.append(hashlib.md5(b).hexdigest())
+        hx = b.hex()  # canonical text encoding: SQL oracles can hash it
+        digests.append(hashlib.md5(hx.encode()).hexdigest())
         sizes.append(len(b))
         if FAKE_DECODE:
             arr = np.frombuffer(
-                hashlib.sha256(b).digest()[:32], dtype=np.uint8
+                hashlib.sha256(hx.encode()).digest()[:8], dtype=np.uint8
             ).astype(np.float64)
-            feats.append((arr[:8] / 255.0).tolist())
+            feats.append((arr / 255.0).tolist())
         else:  # pragma: no cover
             raise NotImplementedError("real decoder not available here")
     return pd.DataFrame({
@@ -79,3 +80,45 @@ def frame_sample(media: DataFrame, every_ms: int = 5000) -> DataFrame:
     ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
     return (vids.select("media_id", F.explode(ts).alias("frame_ms"))
             .orderBy("media_id", "frame_ms"))
+
+
+# ---- driver-contract wrappers (full DuckDB value oracles: the fake
+# media table and the fake decode are both reconstructible in pure SQL,
+# so even the stubbed decode path gets a value-checked oracle rather
+# than a rows-only check) ----
+
+N_MEDIA_Q = 64
+
+
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_features over the deterministic media table, feat array
+    flattened to scalar columns so the oracle hash compares values."""
+    out = extract_features(synth_media(spark, N_MEDIA_Q))
+    cols = [F.col("feat")[j].alias(f"f{j}") for j in range(8)]
+    return out.select("media_id", "kind", "n_bytes", "digest", *cols)
+
+
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(synth_media(spark, N_MEDIA_Q), every_ms=5000)
+
+
+_MEDIA_CTE = (
+    "WITH m AS (SELECT i AS media_id, "
+    "CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    " AS kind, lower(repeat(sha256('media'||i), 1 + i % 4)) AS hx, "
+    "1000 * (1 + i % 30) AS duration_ms "
+    f"FROM range({N_MEDIA_Q}) t(i))"
+)
+
+_FEAT_COLS_SQL = ", ".join(
+    f"CAST(('0x'||substr(sha256(hx), {1 + 2 * j}, 2)) AS INT)/255.0 AS f{j}"
+    for j in range(8))
+
+MEDIA_FEATURES_SQL = (
+    _MEDIA_CTE + " SELECT media_id, kind, CAST(length(hx)/2 AS BIGINT) AS"
+    " n_bytes, md5(hx) AS digest, " + _FEAT_COLS_SQL + " FROM m")
+
+FRAME_SAMPLE_SQL = (
+    _MEDIA_CTE + " SELECT media_id, CAST(f.frame_ms AS INT) AS frame_ms"
+    " FROM m, unnest(generate_series(0, duration_ms, 5000)) AS f(frame_ms)"
+    " WHERE kind = 'video'")
