@@ -184,3 +184,33 @@ def prefix_search(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
 def prefix_search_sql(prefix: str) -> str:
     return (TOK_CTE + " SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok"
             f" WHERE term LIKE '{prefix}%' GROUP BY term ORDER BY term")
+
+
+def facet_stats(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
+    """Facet counts over a query's result set — the KVStats analog
+    (Worker::kvstats, reference/oscar-cmd/Workfunctions.cpp:134-168:
+    for the docs matching a query, count per key / per (key,value) and
+    rank).  Here the doc 'tags' are the lang and source columns; the
+    result set is the docs containing `term`."""
+    docs = load_documents(spark, sf_dir)
+    hits = (tokens(docs).filter(F.col("term") == term)
+            .select("doc_id").distinct())
+    matched = docs.join(hits, "doc_id")
+    kv = matched.select(
+        F.lit("lang").alias("key"), F.col("lang").alias("value")).union(
+        matched.select(F.lit("source").alias("key"),
+                       F.col("source").alias("value")))
+    return (kv.groupBy("key", "value")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("key"), F.asc("value")))
+
+
+def facet_stats_sql(term: str) -> str:
+    return (
+        TOK_CTE +
+        f", hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+        ", matched AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))"
+        ", kv AS (SELECT 'lang' AS key, lang AS value FROM matched"
+        " UNION ALL SELECT 'source' AS key, source AS value FROM matched)"
+        " SELECT key, value, CAST(COUNT(*) AS BIGINT) AS cnt FROM kv"
+        " GROUP BY key, value ORDER BY cnt DESC, key, value")
