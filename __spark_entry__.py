@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_set_xor": lambda s, d: fts.set_op(s, d, SET_A, SET_B, "xor"),
         "fts_prefix": lambda s, d: fts.prefix_search(s, d, "qu"),
         "fts_facet_stats": lambda s, d: fts.facet_stats(s, d, "data"),
+        "fts_facet_entropy": lambda s, d: fts.facet_entropy(s, d, "data"),
         # --- dedup suite ---
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_sigs": dedup.minhash_signatures,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_set_xor": fts.set_op_sql(SET_A, SET_B, "xor"),
         "fts_prefix": fts.prefix_search_sql("qu"),
         "fts_facet_stats": fts.facet_stats_sql("data"),
+        "fts_facet_entropy": fts.facet_entropy_sql("data"),
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_minhash_sigs": dedup.MINHASH_SQL,
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),

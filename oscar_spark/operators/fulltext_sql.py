@@ -214,3 +214,31 @@ def facet_stats_sql(term: str) -> str:
         " UNION ALL SELECT 'source' AS key, source AS value FROM matched)"
         " SELECT key, value, CAST(COUNT(*) AS BIGINT) AS cnt FROM kv"
         " GROUP BY key, value ORDER BY cnt DESC, key, value")
+
+
+def facet_entropy(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
+    """Shannon entropy per facet key over a query's result set — the
+    shannonKvstats analog (Worker::shannonKvstats,
+    reference/oscar-cmd/Workfunctions.cpp:171-233: entropy-scored
+    key split suggestion).  Pure groupBy composition, no UDAF."""
+    kv = facet_stats(spark, sf_dir, term)
+    totals = kv.groupBy("key").agg(F.sum("cnt").alias("tot"))
+    return (kv.join(totals, "key")
+            .withColumn("p", F.col("cnt") / F.col("tot"))
+            .groupBy("key")
+            .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6)
+                 .alias("entropy"),
+                 F.count("*").cast("long").alias("n_values"))
+            .orderBy(F.desc("entropy"), F.asc("key")))
+
+
+def facet_entropy_sql(term: str) -> str:
+    inner = facet_stats_sql(term).replace(
+        " ORDER BY cnt DESC, key, value", "")
+    return (
+        f"WITH fc AS ({inner}), tot AS (SELECT key, SUM(cnt) AS tot"
+        " FROM fc GROUP BY key) SELECT fc.key AS key,"
+        " ROUND(-SUM((cnt/tot) * ln(cnt/tot)), 6) AS entropy,"
+        " CAST(COUNT(*) AS BIGINT) AS n_values"
+        " FROM fc JOIN tot USING (key) GROUP BY fc.key"
+        " ORDER BY entropy DESC, key")
