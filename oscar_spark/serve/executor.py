@@ -324,11 +324,17 @@ class SearchEngine:
         ranges = agg.select("range_id", "ub")
 
         seed_n = max(4, (2 * k) // 64 + 1)
-        seed_rows = ranges.orderBy(F.desc("ub")).limit(seed_n + 1).collect()
+        # fetch well past seed_n: when ALL candidate ranges fit in one
+        # fetch (the common case until ~64×RANGE_SIZE matching docs),
+        # two-phase pruning only adds driver roundtrips — score every
+        # candidate in a single job instead
+        fetch_n = max(seed_n, 64)
+        seed_rows = ranges.orderBy(F.desc("ub")).limit(fetch_n + 1).collect()
         if not seed_rows:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        exhausted = len(seed_rows) <= seed_n  # every candidate range seeded
-        seed_rows = seed_rows[:seed_n]
+        exhausted = len(seed_rows) <= fetch_n  # every candidate range fetched
+        if not exhausted:
+            seed_rows = seed_rows[:seed_n]
         seed_ids = [r["range_id"] for r in seed_rows]
 
         blocks = self._blocks(present, meta_only=False)
