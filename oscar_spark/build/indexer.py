@@ -28,12 +28,11 @@ Spark plan (one declarative DAG; Catalyst handles what oscar hand-built):
     write doc_stats / terms / postings (+ lineage, manifest commits)
 
 Scale notes (100 TB / 10^12 docs):
-- The only global ordering is docID assignment.  Here (test scale) it is
-  a row_number window over (quality DESC, url ASC).  At 10^12 docs the
-  documented strategy is per-partition contiguous ranges from a committed
-  partition manifest (sort partitions by range, assign base offsets from
-  partition counts — same determinism, no single-partition window);
-  see docids.assign_doc_ids for the seam.
+- The only global ordering is docID assignment: per-partition contiguous
+  ranges over pinned repartitionByRange partitions with base offsets
+  from a collected partition manifest (docids.assign_doc_ids_ranged) —
+  no single-partition stage at any scale.  The term-dictionary id
+  window is the same seam (tiny here; ranged at 10^9+ terms).
 - tf aggregation happens INSIDE the tokenize UDF (pandas value_counts per
   doc), so the big shuffle moves (term, doc, tf) rows, not raw tokens —
   the map-side-combine analog of oscar's per-thread MatchDesc hash
