@@ -40,6 +40,16 @@ class OracleIndex:
         return sorted(t for t in self.postings
                       if t.startswith(stem))[:MAX_PREFIX_EXPAND]
 
+    def expand_wild(self, kind: str, stem: str) -> list[str]:
+        """Pinned suffix/substring expansion (sorted, capped) —
+        QT_SUFFIX / QT_SUBSTRING analog."""
+        from oscar_spark.config import MAX_PREFIX_EXPAND
+        if kind == "suffix":
+            hit = (t for t in self.postings if t.endswith(stem))
+        else:
+            hit = (t for t in self.postings if stem in t)
+        return sorted(hit)[:MAX_PREFIX_EXPAND]
+
     # --- set algebra (mirrors DecelledACOT::execute set ops,
     #     reference/oscar-cmd/DecelledACOT.cpp:73-98) ---
     def eval_node(self, node) -> set[int]:
@@ -51,6 +61,11 @@ class OracleIndex:
         if kind == "prefix":
             out: set[int] = set()
             for t in self.expand_prefix(node[1]):
+                out |= set(self.postings[t])
+            return out
+        if kind in ("suffix", "substr"):
+            out = set()
+            for t in self.expand_wild(kind, node[1]):
                 out |= set(self.postings[t])
             return out
         left, right = self.eval_node(node[1]), self.eval_node(node[2])
@@ -79,7 +94,8 @@ class OracleIndex:
         """Top-k (doc_id, score), ties broken score DESC then doc_id ASC."""
         node = parser.parse(query)
         docs = self.eval_node(node)
-        terms = parser.query_terms(node, self.expand_prefix)
+        terms = parser.query_terms(node, self.expand_prefix,
+                                   self.expand_wild)
         scored = [(d, self.score(d, terms)) for d in docs]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]

@@ -123,12 +123,35 @@ class SearchEngine:
                 .limit(MAX_PREFIX_EXPAND).collect())
         return [r["term"] for r in rows]
 
+    def expand_wild(self, kind: str, stem: str) -> list[str]:
+        """Suffix/substring expansion (QT_SUFFIX / QT_SUBSTRING):
+        endswith/contains scan of the term dictionary, sorted, capped —
+        the serve-time stand-in for oscar's build-time suffix
+        enumeration (reference/oscar-create/CellTextCompleter.h:602-637);
+        at 10^12-doc scale a suffix-mirror terms table would restore
+        pruned lookups."""
+        from oscar_spark.config import MAX_PREFIX_EXPAND
+        if self._term_sorted is not None:
+            if kind == "suffix":
+                hit = (t for t in self._term_sorted if t.endswith(stem))
+            else:
+                hit = (t for t in self._term_sorted if stem in t)
+            return sorted(hit)[:MAX_PREFIX_EXPAND]
+        cond = (F.col("term").endswith(stem) if kind == "suffix"
+                else F.col("term").contains(stem))
+        rows = (self.terms.filter(cond).select("term").orderBy("term")
+                .limit(MAX_PREFIX_EXPAND).collect())
+        return [r["term"] for r in rows]
+
     def _rewrite_prefixes(self, node):
-        """AST → AST with prefix leaves expanded to OR-chains."""
+        """AST → AST with prefix/suffix/substring leaves expanded to
+        OR-chains over dictionary terms."""
         kind = node[0]
-        if kind == "prefix":
+        if kind in ("prefix", "suffix", "substr"):
+            terms = (self.expand_prefix(node[1]) if kind == "prefix"
+                     else self.expand_wild(kind, node[1]))
             out = None
-            for t in self.expand_prefix(node[1]):
+            for t in terms:
                 leaf = ("term", t)
                 out = leaf if out is None else ("or", out, leaf)
             return out if out is not None else parser.EMPTY

@@ -94,16 +94,24 @@ def _terms_node(text: str, allow_prefix: bool = True):
 
     A trailing '*' marks a prefix query (QT_PREFIX analog: the trie
     subtree merge of reference/oscar-create/CellTextCompleter.h:496-525
-    becomes a range scan of the sorted term table).  Suffix/substring
-    ('*tok', '*tok*') are out of scope (SURVEY.md non-goals) — stars in
+    becomes a range scan of the sorted term table).  A leading '*' marks
+    suffix ('*tok', QT_SUFFIX) and both ends substring ('*tok*',
+    QT_SUBSTRING) — expanded against the term dictionary, the analog of
+    oscar's suffix-string enumeration at build time
+    (reference/oscar-create/CellTextCompleter.h:602-637).  Stars in
     other positions are treated as token separators.
     """
-    is_prefix = allow_prefix and text.endswith("*") and len(text) > 1
+    trail = allow_prefix and text.endswith("*") and len(text) > 1
+    lead = allow_prefix and text.startswith("*") and len(text) > 1
     toks = tokenize(text)
     node = None
     for i, tok in enumerate(toks):
-        if is_prefix and i == len(toks) - 1:
+        if lead and trail and len(toks) == 1:
+            leaf = ("substr", tok)
+        elif trail and i == len(toks) - 1:
             leaf = ("prefix", tok)
+        elif lead and i == 0:
+            leaf = ("suffix", tok)
         else:
             leaf = ("term", tok)
         node = leaf if node is None else ("and", node, leaf)
@@ -154,13 +162,15 @@ def parse(query: str):
         return EMPTY
 
 
-def query_terms(node, expand_prefix=None) -> list[str]:
+def query_terms(node, expand_prefix=None, expand_wild=None) -> list[str]:
     """Distinct terms of an AST in first-appearance order (scoring set).
 
     Prefix leaves contribute their expansion: `expand_prefix(stem)` must
     return the matching terms (both engines pin the same rule: all index
     terms starting with the stem, sorted, capped at MAX_PREFIX_EXPAND).
-    Without an expander, prefix leaves contribute nothing.
+    Suffix/substring leaves expand via `expand_wild(kind, stem)` under
+    the same pinned rule (endswith/contains, sorted, capped).  Without
+    an expander, those leaves contribute nothing.
     """
     out: list[str] = []
     seen = set()
@@ -176,6 +186,10 @@ def query_terms(node, expand_prefix=None) -> list[str]:
         elif n[0] == "prefix":
             if expand_prefix is not None:
                 for t in expand_prefix(n[1]):
+                    add(t)
+        elif n[0] in ("suffix", "substr"):
+            if expand_wild is not None:
+                for t in expand_wild(n[0], n[1]):
                     add(t)
         elif n[0] != "empty":
             walk(n[1])

@@ -227,3 +227,15 @@ def test_prefix_rank_identity(engine, oracle, q):
         assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
     pruned = engine.search(q, k=10, mode="auto")
     assert [d for d, _ in pruned] == [d for d, _ in expected]
+
+
+@pytest.mark.parametrize("q", ["*ar", "*ty", "*or*", "*th* - the",
+                               "*01", "city + *ar", "*", "**", "*zzz*"])
+def test_suffix_substring_rank_identity(engine, oracle, q):
+    """QT_SUFFIX / QT_SUBSTRING: same pinned expansion both engines,
+    rank-identical results (incl. degenerate star-only queries)."""
+    expected = oracle.search(q, k=10)
+    got = engine.search(q, k=10, mode="auto")
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, gs), (_, es) in zip(got, expected):
+        assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
