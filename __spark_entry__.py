@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk(s, d, 0, 10),
         "sim_ann_lsh": lambda s, d: similarity.ann_lsh_topk(s, d, 0, 10),
         "sim_label_centroids": similarity.label_centroids,
+        "dedup_embed_cosine": lambda s, d: similarity.cosine_near_dup_pairs(
+            s, d, threshold=0.35),
         # --- multimodal plumbing (binary payload → features; stubbed
         # decode is a deterministic fake, so it still gets a full value
         # oracle) ---
@@ -108,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": similarity.cosine_topk_sql(0, 10),
         "sim_ann_lsh": similarity.ann_lsh_topk_sql(0, 10),
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "dedup_embed_cosine": similarity.cosine_near_dup_pairs_sql(0.35),
         "mm_features": multimodal.MEDIA_FEATURES_SQL,
         "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,

@@ -143,3 +143,46 @@ LABEL_CENTROIDS_SQL = (
     "SELECT label, COUNT(*) AS n, "
     "ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 6) "
     "AS avg_norm FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings) GROUP BY label ORDER BY label")
+
+
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                          threshold: float = 0.9, n_planes: int = 4,
+                          dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed scale path.
+
+    Candidate pairs come from equality on the signed-random-projection
+    bucket (a self-equi-join Spark shuffles by bucket — no O(n²) cross
+    join), then the exact cosine filter keeps pairs ≥ threshold.  Same
+    pinned bucket rule as ann_lsh_topk, so recall semantics are part of
+    the operator contract and the DuckDB oracle replicates them exactly.
+    """
+    emb = load_embeddings(spark, sf_dir) \
+        .withColumn("bucket", _lsh_bucket(F.col("embedding"), n_planes, dim))
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").alias("a_emb"), "bucket")
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("embedding").alias("b_emb"), "bucket")
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / \
+        (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
+    return (a.join(b, "bucket")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("a_id", "b_id"))
+
+
+def cosine_near_dup_pairs_sql(threshold: float = 0.9, n_planes: int = 4,
+                              dim: int = 64) -> str:
+    bkt = _lsh_bucket_sql("embedding", n_planes, dim)
+    cos = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+           "x -> x[1] * x[2])) / "
+           "(sqrt(list_sum(list_transform(a.embedding, x -> x * x))) * "
+           "sqrt(list_sum(list_transform(b.embedding, x -> x * x))))")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding"
+        " FROM embeddings), "
+        f"be AS (SELECT vec_id, embedding, {bkt} AS bucket FROM e) "
+        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({cos}, 6) AS"
+        " cosine FROM be a JOIN be b ON a.bucket = b.bucket AND"
+        f" a.vec_id < b.vec_id WHERE ROUND({cos}, 6) >= {threshold}"
+        " ORDER BY a_id, b_id")
