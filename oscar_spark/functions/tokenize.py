@@ -45,14 +45,22 @@ def tokenize(text: str) -> list[str]:
     return [t for t in _SPLIT.split(normalize(text)) if len(t) >= MIN_TOKEN_LEN]
 
 
+# split-on-non-alnum + drop tokens shorter than MIN_TOKEN_LEN is exactly
+# "find alnum runs of length ≥ MIN_TOKEN_LEN": one findall replaces
+# split + a per-row Python filter (hypothesis-tested equivalent)
+_TOKEN_RE = f"[a-z0-9]{{{MIN_TOKEN_LEN},}}"
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized: Series[str] → Series[list[str]] (same rule as tokenize)."""
-    norm = (
-        texts.fillna("")
-        .str.lower()
-        .str.normalize("NFKD")
-        .str.replace(_COMBINING, "", regex=True)
-    )
-    return norm.str.split(TOKEN_SPLIT_RE, regex=True).map(
-        lambda toks: [t for t in toks if len(t) >= MIN_TOKEN_LEN]
-    )
+    norm = texts.fillna("").str.lower()
+    # NFKD + combining-strip is the identity on pure-ASCII text (the vast
+    # majority of lowered web text) — normalize only the non-ASCII rows
+    non_ascii = ~norm.map(str.isascii)
+    if non_ascii.any():
+        fixed = (norm[non_ascii]
+                 .str.normalize("NFKD")
+                 .str.replace(_COMBINING, "", regex=True))
+        norm = norm.copy()
+        norm[non_ascii] = fixed
+    return norm.str.findall(_TOKEN_RE)
