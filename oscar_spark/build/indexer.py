@@ -124,7 +124,8 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
-                tfs: np.ndarray, dls: np.ndarray) -> pd.DataFrame:
+                tfs: np.ndarray, dls: np.ndarray,
+                codec: str = "varint") -> pd.DataFrame:
     """Encode a (term, range_id, doc_id)-sorted run of postings into
     posting-block rows via the single-pass batched codec.
 
@@ -143,11 +144,13 @@ def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     free of any df join or score column.
     """
     return pd.DataFrame(encode_runs(
-        terms, rngs, ids, tfs, dls, BLOCK_SIZE, RANGE_SIZE)) \
+        terms, rngs, ids, tfs, dls, BLOCK_SIZE, RANGE_SIZE,
+        codec=codec)) \
         .rename(columns={"term": "tid"})
 
 
-def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _encode_partition(batches: Iterator[pd.DataFrame],
+                      codec: str = "varint") -> Iterator[pd.DataFrame]:
     """Partition encoder with cross-batch carry-over.
 
     Input partitions are hash-partitioned on (term, range_id) and sorted
@@ -187,7 +190,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 head["tid"].to_numpy(), head["range_id"].to_numpy(),
                 head["doc_id"].to_numpy(np.int64),
                 head["tf"].to_numpy(np.int64),
-                head["dl"].to_numpy(np.int64))
+                head["dl"].to_numpy(np.int64), codec)
     tail = ([pending] if pending is not None and len(pending) else []) + buf
     if tail:
         pdf = pd.concat(tail, ignore_index=True)
@@ -196,7 +199,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 pdf["tid"].to_numpy(), pdf["range_id"].to_numpy(),
                 pdf["doc_id"].to_numpy(np.int64),
                 pdf["tf"].to_numpy(np.int64),
-                pdf["dl"].to_numpy(np.int64))
+                pdf["dl"].to_numpy(np.int64), codec)
 
 
 @dataclass
@@ -253,8 +256,15 @@ def input_fingerprint(pages: DataFrame) -> str:
 
 
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
-                resume: bool = False) -> BuildResult:
-    """Build the full index (doc_stats, terms, postings, lineage)."""
+                resume: bool = False,
+                codec: str | None = None) -> BuildResult:
+    """Build the full index (doc_stats, terms, postings, lineage).
+
+    codec: posting payload codec ("varint" | "pfor"); defaults to
+    config.POSTINGS_CODEC.  Recorded in the store manifest; serve
+    dispatches on it."""
+    from oscar_spark.config import POSTINGS_CODEC
+    codec = codec or POSTINGS_CODEC
     t0 = time.time()
     stage_secs: dict[str, float] = {}
     _last = [t0]
@@ -359,7 +369,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         blocks = (postings_raw
                   .repartition(n_enc, "tid", "range_id")
                   .sortWithinPartitions("tid", "range_id", "doc_id")
-                  .mapInPandas(_encode_partition, BLOCKS_SCHEMA))
+                  .mapInPandas(
+                      lambda it, _c=codec: _encode_partition(it, _c),
+                      BLOCKS_SCHEMA))
         # PHASE-1 CHECKPOINT (the explicit two-phase merge): blocks is
         # consumed twice below (df aggregation AND the join probe), and
         # Catalyst re-executes the whole shuffle+encode per consumer —
@@ -401,6 +413,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             .sortWithinPartitions("term", "block_id")
         )
         store.write(final_blocks, "postings", partition_by=["bucket"])
+        store.set_meta("codec", codec)
         store.commit("postings", fp)
     _mark("postings")
     postings = store.read(spark, "postings")

@@ -39,6 +39,14 @@ NUM_TERM_BUCKETS: int = 16     # bucket(term) partitioning of index tables
 # (at 10^12 docs the map is itself a big table)
 BROADCAST_DOCID_MAX: int = 20_000_000
 
+# posting-block payload codec: "varint" (default, single-pass batched
+# encoder) or "pfor" (PForDelta: bit-packed with exceptions, ~20%
+# smaller payloads, slower encode).  The build records the codec in the
+# store manifest; serve dispatches on it.  Mirrors the reference's
+# per-build codec configs (reference/data/configs/oscar-create/index_*.json).
+import os as _os
+POSTINGS_CODEC: str = _os.environ.get("OSCAR_SPARK_CODEC", "varint")
+
 # --- score comparison ---
 SCORE_ROUND: int = 4           # decimals when hashing/comparing scores
 

@@ -98,7 +98,8 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
 def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
                 tfs: np.ndarray, dls: np.ndarray,
-                block_size: int, range_size: int) -> dict:
+                block_size: int, range_size: int,
+                codec: str = "varint") -> dict:
     """Encode a (term, range_id, doc_id)-sorted run of postings into
     blocks in ONE vectorized pass over the whole run.
 
@@ -149,9 +150,16 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     stream[d_idx] = deltas.astype(np.uint64)
     stream[d_idx + cnt_r] = tfs.astype(np.uint64)
     stream[d_idx + 2 * cnt_r] = dls.astype(np.uint64)
-    raw, offs = varint_encode_with_offsets(stream)
-    bs = offs[3 * bstarts].tolist()
-    be = offs[3 * bends].tolist()
+    if codec == "pfor":
+        # flagged variant: per-block patched frame-of-reference over the
+        # same permuted stream (smaller payloads, slower encode)
+        payloads = [pfor_encode(stream[3 * s:3 * e])
+                    for s, e in zip(bstarts.tolist(), bends.tolist())]
+    else:
+        raw, offs = varint_encode_with_offsets(stream)
+        bs = offs[3 * bstarts].tolist()
+        be = offs[3 * bends].tolist()
+        payloads = [raw[s:e] for s, e in zip(bs, be)]
     return {
         "term": terms[bstarts],
         "range_id": rngs[bstarts],
@@ -160,7 +168,7 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
         "doc_count": counts.astype(np.int32),
         "max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
         "min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32),
-        "payload": [raw[s:e] for s, e in zip(bs, be)],
+        "payload": payloads,
     }
 
 
@@ -175,3 +183,125 @@ def decode_block(payload: bytes, doc_count: int, range_base: int):
     tfs = stream[doc_count:2 * doc_count].astype(np.int64)
     dls = stream[2 * doc_count:].astype(np.int64)
     return doc_ids, tfs, dls
+
+
+# ---- PForDelta codec variant ----
+# The reference ships pluggable posting codecs selected per build
+# (rlede / eliasfano / wah / native, reference/data/configs/oscar-create/
+# index_*.json); our analog is varint (default) vs PForDelta, selected
+# by config.POSTINGS_CODEC and recorded in the store manifest.
+#
+# PFor layout per block payload:
+#   [1B bit width b][varint n_total][varint n_exceptions]
+#   [bit-packed low b bits of all values, little-endian within value]
+#   [varint exception positions (delta-coded)][varint exception high bits]
+# Values with high bits beyond b are "exceptions": their low b bits stay
+# in the packed array, the remainder (value >> b) goes to the exception
+# stream — the classic patched frame-of-reference.
+
+def _pack_bits(vals: np.ndarray, b: int) -> bytes:
+    if b == 0:
+        return b""
+    bits = ((vals[:, None] >> np.arange(b, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
+    if b == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
+                         count=n * b, bitorder="little")
+    w = (np.uint64(1) << np.arange(b, dtype=np.uint64))
+    return (bits.reshape(n, b).astype(np.uint64) * w).sum(
+        axis=1, dtype=np.uint64)
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Patched frame-of-reference encode of a value stream (uint64)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return bytes([0]) + varint_encode(np.array([0, 0], dtype=np.uint64))
+    widths = np.zeros(n, dtype=np.int64)
+    nz = vals > 0
+    widths[nz] = np.floor(np.log2(vals[nz].astype(np.float64))).astype(
+        np.int64) + 1
+    # b at the 90th percentile width: ≤10% exceptions
+    b = int(np.percentile(widths, 90))
+    b = max(b, 1)
+    exc_mask = widths > b
+    exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
+    exc_high = vals[exc_mask] >> np.uint64(b)
+    low = vals & ((np.uint64(1) << np.uint64(b)) - np.uint64(1))
+    pos_delta = np.diff(exc_pos, prepend=np.uint64(0)) if len(exc_pos) \
+        else exc_pos
+    head = varint_encode(np.array([n, len(exc_pos)], dtype=np.uint64))
+    return (bytes([b]) + head + _pack_bits(low, b) +
+            varint_encode(pos_delta) + varint_encode(exc_high))
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    b = buf[0]
+    # read the two header varints byte-by-byte
+    i = 1
+    n = 0
+    shift = 0
+    while True:
+        c = buf[i]; i += 1
+        n |= (c & 0x7F) << shift
+        shift += 7
+        if not c & 0x80:
+            break
+    n_exc = 0
+    shift = 0
+    while True:
+        c = buf[i]; i += 1
+        n_exc |= (c & 0x7F) << shift
+        shift += 7
+        if not c & 0x80:
+            break
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    packed_len = (n * b + 7) // 8
+    vals = _unpack_bits(buf[i:i + packed_len], n, b)
+    i += packed_len
+    if n_exc:
+        tail = varint_decode(buf[i:])
+        pos = np.cumsum(tail[:n_exc])
+        high = tail[n_exc:n_exc + n_exc]
+        vals[pos.astype(np.int64)] |= high << np.uint64(b)
+    return vals
+
+
+def pfor_encode_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                      dls: np.ndarray, range_base: int) -> bytes:
+    """PForDelta twin of encode_block (same value stream layout)."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    deltas = np.empty_like(doc_ids)
+    deltas[0] = doc_ids[0] - range_base
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    if (deltas[1:] <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing within a block")
+    stream = np.concatenate([
+        deltas.astype(np.uint64),
+        np.ascontiguousarray(tfs, dtype=np.uint64),
+        np.ascontiguousarray(dls, dtype=np.uint64),
+    ])
+    return pfor_encode(stream)
+
+
+def pfor_decode_block(payload: bytes, doc_count: int, range_base: int):
+    stream = pfor_decode(payload)
+    if stream.shape[0] != 3 * doc_count:
+        raise ValueError(
+            f"corrupt pfor block: {stream.shape[0]} values for "
+            f"doc_count={doc_count}")
+    deltas = stream[:doc_count].astype(np.int64)
+    doc_ids = np.cumsum(deltas) + range_base
+    tfs = stream[doc_count:2 * doc_count].astype(np.int64)
+    dls = stream[2 * doc_count:].astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+BLOCK_DECODERS = {"varint": decode_block, "pfor": pfor_decode_block}

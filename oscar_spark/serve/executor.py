@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from oscar_spark.config import NUM_TERM_BUCKETS, RANGE_SIZE
 from oscar_spark.functions.bm25 import bm25_np
-from oscar_spark.functions.codec import decode_block
+from oscar_spark.functions.codec import BLOCK_DECODERS
 from oscar_spark.serve import parser
 from oscar_spark.sources.tables import IndexStore
 
@@ -84,6 +84,9 @@ class SearchEngine:
             F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
         self.n_docs = int(row["n"])
         self.avgdl = float(row["a"]) if row["a"] is not None else 0.0
+        # codec recorded by the build (varint default, pfor variant)
+        self._decode = BLOCK_DECODERS[
+            self.store.get_meta("codec", "varint")]
         self._term_df: dict[str, int] | None = None
         self._term_sorted: list[str] | None = None
         if self.terms.count() <= self.TERMS_PRELOAD_MAX:
@@ -189,13 +192,14 @@ class SearchEngine:
         cuts each range's output to its top-k by (score desc, doc asc).
         """
         n_docs, avgdl = float(self.n_docs), float(self.avgdl)
+        decode = self._decode
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             all_ids, all_scores = [], []
             for term, payload, doc_count, range_id in zip(
                     pdf["term"], pdf["payload"], pdf["doc_count"],
                     pdf["range_id"]):
-                ids, tfs, dls = decode_block(
+                ids, tfs, dls = decode(
                     bytes(payload), int(doc_count), int(range_id) * RANGE_SIZE)
                 df_t = float(dfmap.get(term, 0))
                 if df_t <= 0:
@@ -229,6 +233,7 @@ class SearchEngine:
     def _decoded(self, terms: list[str], dfmap: dict[str, int]) -> DataFrame:
         """→ (term, doc_id, score) for every posting of the given terms."""
         n_docs, avgdl = float(self.n_docs), float(self.avgdl)
+        decode = self._decode
         blocks = self._blocks(terms, meta_only=False) \
             .select("term", "range_id", "doc_count", "payload")
 
@@ -238,7 +243,7 @@ class SearchEngine:
                 for term, payload, doc_count, range_id in zip(
                         pdf["term"], pdf["payload"], pdf["doc_count"],
                         pdf["range_id"]):
-                    ids, tfs, dls = decode_block(
+                    ids, tfs, dls = decode(
                         bytes(payload), int(doc_count),
                         int(range_id) * RANGE_SIZE)
                     df_t = float(dfmap.get(term, 0))

@@ -73,6 +73,18 @@ class IndexStore:
         snap = self.manifest()["snapshots"].get(stage)
         return snap["snapshot_id"] if snap else None
 
+    # --- store-level metadata (e.g. posting codec) ---
+    def set_meta(self, key: str, value) -> None:
+        m = self.manifest()
+        m.setdefault("meta", {})[key] = value
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    def get_meta(self, key: str, default=None):
+        return self.manifest().get("meta", {}).get(key, default)
+
     # --- table IO ---
     def path(self, table: str) -> str:
         return os.path.join(self.dir, table)

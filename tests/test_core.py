@@ -244,3 +244,33 @@ def test_reference_dont_crash_corpus_literal():
     for q in open(path):
         q = q.rstrip("\n")
         assert idx.eval_node(parser.parse(q)) == expected[q]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=0,
+                max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_pfor_roundtrip(vals):
+    from oscar_spark.functions.codec import pfor_encode, pfor_decode
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(pfor_decode(pfor_encode(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=300, unique=True),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=50, deadline=None)
+def test_pfor_block_roundtrip(ids, seed):
+    from oscar_spark.functions.codec import (pfor_decode_block,
+                                             pfor_encode_block)
+    ids = sorted(ids)
+    rng = np.random.RandomState(seed)
+    tfs = rng.randint(1, 50, size=len(ids))
+    dls = rng.randint(1, 500, size=len(ids))
+    base = min(ids) - (min(ids) % 8192)
+    payload = pfor_encode_block(np.array(ids), tfs, dls, base)
+    d_ids, d_tfs, d_dls = pfor_decode_block(payload, len(ids), base)
+    assert list(d_ids) == ids
+    assert np.array_equal(d_tfs, tfs)
+    assert np.array_equal(d_dls, dls)

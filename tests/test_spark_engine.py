@@ -239,3 +239,18 @@ def test_suffix_substring_rank_identity(engine, oracle, q):
     assert [d for d, _ in got] == [d for d, _ in expected]
     for (_, gs), (_, es) in zip(got, expected):
         assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
+
+
+def test_pfor_codec_end_to_end(spark, pages_df, oracle, tmp_path):
+    """Build with the PForDelta codec flag: manifest records it, serve
+    dispatches on it, results stay rank-identical to the oracle."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.sources.tables import IndexStore
+    d = str(tmp_path / "pfor_idx")
+    build_index(spark, pages_df, d, codec="pfor")
+    assert IndexStore(d).get_meta("codec") == "pfor"
+    eng = SearchEngine(spark, d)
+    for q in ["the", "city + state", "war history world", "wd0042"]:
+        expected = oracle.search(q, k=10)
+        got = eng.search(q, k=10)
+        assert [x for x, _ in got] == [x for x, _ in expected]
