@@ -73,6 +73,11 @@ BLOCKS_SCHEMA = (
     "tid long, range_id long, first_doc long, last_doc long, "
     "doc_count int, max_tf int, min_dl int, payload binary"
 )
+FINAL_BLOCKS_SCHEMA = (
+    "bucket int, term string, block_id int, range_id long, "
+    "first_doc long, last_doc long, doc_count int, max_tf int, "
+    "min_dl int, max_score double, payload binary"
+)
 
 
 def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,6 +205,54 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
                 pdf["doc_id"].to_numpy(np.int64),
                 pdf["tf"].to_numpy(np.int64),
                 pdf["dl"].to_numpy(np.int64), codec)
+
+
+_FINAL_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
+               "last_doc", "doc_count", "max_tf", "min_dl", "max_score",
+               "payload"]
+
+
+def _finalize_frame(pdf: pd.DataFrame, n_docs: float,
+                    avgdl: float) -> pd.DataFrame:
+    """(term, first_doc)-sorted blocks → + df-derived max_score,
+    per-term dense block_id.  One vectorized pass (reduceat per term)."""
+    from oscar_spark.functions.bm25 import bm25_np
+    n = len(pdf)
+    terms = pdf["term"].to_numpy()
+    starts = np.flatnonzero(
+        np.concatenate(([True], terms[1:] != terms[:-1])))
+    lens = np.diff(np.append(starts, n))
+    dc = pdf["doc_count"].to_numpy(np.int64)
+    df_g = np.add.reduceat(dc, starts)
+    df_arr = np.repeat(df_g, lens).astype(np.float64)
+    out = pdf.copy()
+    out["block_id"] = (np.arange(n, dtype=np.int64) -
+                       np.repeat(starts, lens)).astype("int32")
+    out["max_score"] = bm25_np(
+        pdf["max_tf"].to_numpy(np.float64),
+        pdf["min_dl"].to_numpy(np.float64), df_arr, n_docs, avgdl)
+    return out[_FINAL_COLS]
+
+
+def _finalize_partition(batches: Iterator[pd.DataFrame], n_docs: float,
+                        avgdl: float) -> Iterator[pd.DataFrame]:
+    """Phase-2 kernel over bucket partitions sorted by (term, first_doc):
+    trailing term group carried over across Arrow batch boundaries."""
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None and len(pending):
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        last = terms == terms[-1]
+        cut = len(pdf) - int(last[::-1].cumprod().sum())
+        head = pdf.iloc[:cut]
+        pending = pdf.iloc[cut:].reset_index(drop=True)
+        if len(head):
+            yield _finalize_frame(head, n_docs, avgdl)
+    if pending is not None and len(pending):
+        yield _finalize_frame(pending, n_docs, avgdl)
 
 
 @dataclass
@@ -382,35 +435,27 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         # (reference/oscar-create/readwritefuncs.cpp:340-394).
         store.write(blocks, "postings_p1")
         blocks = store.read(spark, "postings_p1")
-        # everything below runs on the TINY blocks table (~df/BLOCK_SIZE
-        # rows): df per term, the block-max upper bound, and the phase-2
-        # merge (global block numbering per term via window).  df comes
-        # from a window over the SAME term partitioning as block_id, so
-        # phase 2 is one shuffle — no separate aggregate job + join
-        # (which would also re-execute their input once each)
-        wt = Window.partitionBy("tid")
-        bw = Window.partitionBy("tid").orderBy("first_doc")
+        # phase 2 runs on the TINY blocks table (~rows/BLOCK_SIZE): per-
+        # term df, the block-max upper bound, and global block numbering.
+        # A term's blocks live wholly inside its bucket, so ONE shuffle
+        # (repartition by bucket = the final table layout) co-locates
+        # every term's blocks; a sorted-partition kernel then computes
+        # df / block_id / max_score in a single vectorized pass — the
+        # earlier window(tid) + repartition(bucket) shape moved the
+        # payload bytes through two exchanges instead of one.
         final_blocks = (
             blocks
-            .withColumn("df", F.sum("doc_count").over(wt).cast("long"))
-            .withColumn("max_score", F.expr(bm25_sql(
-                "max_tf", "min_dl", "df",
-                str(float(n_docs)), repr(avgdl))))
-            .withColumn("block_id", F.row_number().over(bw) - 1)
             # restore the term string from the broadcast dict only on the
             # tiny blocks table, after all heavy movement
             .join(term_dict, "tid")
             .withColumn("bucket", F.pmod(F.hash("term"),
                                          F.lit(NUM_TERM_BUCKETS)))
-            .select("bucket", "term", "block_id", "range_id", "first_doc",
-                    "last_doc", "doc_count", "max_tf", "min_dl",
-                    "max_score", "payload")
-            # co-locate each bucket in one task before partitionBy write:
-            # 16 parquet files instead of tasks×16 tiny ones (driver-side
-            # commit time is serial — a measured fixed cost hurting N→4N
-            # scaling efficiency)
             .repartition(NUM_TERM_BUCKETS, "bucket")
-            .sortWithinPartitions("term", "block_id")
+            .sortWithinPartitions("term", "first_doc")
+            .mapInPandas(
+                lambda it, _n=float(n_docs), _a=float(avgdl):
+                _finalize_partition(it, _n, _a),
+                FINAL_BLOCKS_SCHEMA)
         )
         store.write(final_blocks, "postings", partition_by=["bucket"])
         store.set_meta("codec", codec)
