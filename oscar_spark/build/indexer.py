@@ -289,16 +289,22 @@ def input_fingerprint(pages: DataFrame) -> str:
     """
     import os
     import zlib
+    from urllib.parse import unquote, urlparse
     files = sorted(pages.inputFiles())
     if files:
         h = 0
         for f in files:
-            p = f[7:] if f.startswith("file:") else f
+            # urlparse handles every file:-URI form (file:///p, file:/p);
+            # a fixed 7-char slice mangled file:/p paths so size stat
+            # always failed and the fingerprint degraded to names-only
+            p = unquote(urlparse(f).path) if "://" in f or \
+                f.startswith("file:") else f
             try:
-                size = os.path.getsize(p)
+                st = os.stat(p)
+                size, mtime = st.st_size, int(st.st_mtime_ns)
             except OSError:
-                size = -1
-            h = zlib.crc32(f"{f}|{size};".encode(), h)
+                size, mtime = -1, -1
+            h = zlib.crc32(f"{f}|{size}|{mtime};".encode(), h)
         return f"m{len(files)}-{h:08x}"
     row = pages.select(
         F.count("*").alias("n"),
@@ -374,7 +380,11 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     n_docs, avgdl = int(n_docs), float(avgdl)
 
     # ---- stage 2: postings ----
-    if resume and store.committed("postings", fp):
+    # codec folded into the stage fingerprint: resume over an index
+    # committed with a DIFFERENT codec must rebuild, not silently keep
+    # the old payloads under the new codec label
+    pfp = f"{fp}|codec={codec}"
+    if resume and store.committed("postings", pfp):
         resumed.append("postings")
     else:
         doc_ids = doc_stats.select("url", "doc_id")
@@ -459,7 +469,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         )
         store.write(final_blocks, "postings", partition_by=["bucket"])
         store.set_meta("codec", codec)
-        store.commit("postings", fp)
+        store.commit("postings", pfp)
     _mark("postings")
     postings = store.read(spark, "postings")
 

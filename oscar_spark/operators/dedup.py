@@ -68,14 +68,28 @@ SHINGLE_CTE = (
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.8) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard ≥ threshold (doc_a < doc_b)."""
-    sh = _shingles(load_documents(spark, sf_dir)).cache()
+    """Near-dup pairs by word-3-gram Jaccard ≥ threshold (doc_a < doc_b).
+
+    Exact Jaccard is computed ONLY over MinHash-LSH candidate pairs: a
+    raw self-join on `shingle` emits M² rows for a shingle shared by M
+    docs (a stopword 3-gram at 10^6 docs = 10^12 intermediate rows).
+    LSH bounds candidates to docs sharing a band signature; the
+    intersection join then fans out each candidate pair by one doc's
+    shingle set only — bounded by |candidates| × doc_len, never by
+    shingle document-frequency.  Recall for J ≥ 0.8 with (8 perms,
+    4 bands) is 1-(1-J²)⁴ ≈ 0.98 — the standard MinHash-LSH tradeoff;
+    the oracle runs the identical candidate pipeline so results match.
+    """
+    sh = _shingles(load_documents(spark, sf_dir))
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (sh.alias("a").join(sh.alias("b"), "shingle")
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
+    inter = (cand
+             .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+             .join(sh.withColumnRenamed("doc_id", "doc_b"),
+                   ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    # threshold applied to the ROUNDED value on BOTH engines (a raw-vs-
+    # rounded asymmetry flips pairs within 5e-7 of the threshold)
     return (inter
             .join(sizes.withColumnRenamed("doc_id", "doc_a")
                   .withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -89,17 +103,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
             .orderBy("doc_a", "doc_b"))
 
 
+def _bands_cte() -> str:
+    """DuckDB CTE body computing the LSH band keys (mirrors
+    minhash_lsh_pairs' band construction exactly)."""
+    r = MINHASH_PERMS // LSH_BANDS
+    band_rows = []
+    for b in range(LSH_BANDS):
+        sigs = " || ".join(
+            f"MIN(md5(concat('{b * r + j}', shingle)))" for j in range(r))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {sigs} AS key "
+            "FROM sh GROUP BY doc_id")
+    return " UNION ALL ".join(band_rows)
+
+
 def ngram_jaccard_sql(threshold: float = 0.8) -> str:
-    return (SHINGLE_CTE + ", "
+    return (SHINGLE_CTE + f", bands AS ({_bands_cte()}), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b USING (band, key) "
+            "WHERE a.doc_id < b.doc_id), "
             "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "COUNT(*) AS i FROM sh a JOIN sh b USING (shingle) "
-            "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "inter AS (SELECT doc_a, doc_b, COUNT(*) AS i "
+            "FROM cand JOIN sh a ON a.doc_id = cand.doc_a "
+            "JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle "
+            "GROUP BY doc_a, doc_b) "
             "SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / "
             "(sa.sz + sb.sz - i), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
             "JOIN sizes sb ON sb.doc_id = doc_b "
-            f"WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold} "
+            f"WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) "
+            f">= {threshold} "
             "ORDER BY doc_a, doc_b")
 
 
@@ -147,16 +180,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_sql() -> str:
-    r = MINHASH_PERMS // LSH_BANDS
-    band_rows = []
-    for b in range(LSH_BANDS):
-        sigs = " || ".join(
-            f"MIN(md5(concat('{b * r + j}', shingle)))" for j in range(r))
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band, {sigs} AS key "
-            "FROM sh GROUP BY doc_id")
-    bands = " UNION ALL ".join(band_rows)
-    return (SHINGLE_CTE + f", bands AS ({bands}) "
+    return (SHINGLE_CTE + f", bands AS ({_bands_cte()}) "
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM bands a JOIN bands b USING (band, key) "
             "WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b")

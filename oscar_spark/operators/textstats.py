@@ -155,7 +155,10 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-LANG_DIST_SQL = ("SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars "
+# CAST: DuckDB SUM(BIGINT) yields HUGEINT → float64 in pandas, which
+# hash-mismatches Spark's int64 even when values are equal (round-1 red)
+LANG_DIST_SQL = ("SELECT lang, COUNT(*) AS n, "
+                 "CAST(SUM(n_chars) AS BIGINT) AS chars "
                  "FROM documents GROUP BY lang ORDER BY lang")
 
 

@@ -89,6 +89,7 @@ class SearchEngine:
             self.store.get_meta("codec", "varint")]
         self._term_df: dict[str, int] | None = None
         self._term_sorted: list[str] | None = None
+        self._brute_cache: DataFrame | None = None
         if self.terms.count() <= self.TERMS_PRELOAD_MAX:
             rows = self.terms.select("term", "df").collect()
             self._term_df = {r["term"]: int(r["df"]) for r in rows}
@@ -105,6 +106,12 @@ class SearchEngine:
     def drop_memory(self) -> None:
         self.postings = self.postings.unpersist()
         self.terms = self.terms.unpersist()
+        self._release_brute_cache()
+
+    def _release_brute_cache(self) -> None:
+        if self._brute_cache is not None:
+            self._brute_cache.unpersist()
+            self._brute_cache = None
 
     # ---- prefix expansion (QT_PREFIX → sorted term-table range scan;
     # the trie-subtree merge of CellTextCompleter.h:496-525 re-expressed.
@@ -300,6 +307,10 @@ class SearchEngine:
         terms = parser.query_terms(node)
         dfmap = self.term_stats(terms)
         shape = _tree_shape(node)
+        # release the previous query's brute-path cache: a long-running
+        # engine would otherwise accumulate one cached RDD per brute
+        # query until executor storage memory evicts under pressure
+        self._release_brute_cache()
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double")
         if shape == "empty" or not terms:
@@ -308,7 +319,11 @@ class SearchEngine:
             return empty
         if mode == "auto":
             mode = "pruned" if shape in ("single", "and", "or") else "brute"
-        if mode == "pruned" and shape not in ("single", "and", "or"):
+        # pruned AND all_ranges score the UNION of present terms — on a
+        # general tree (NOT/XOR) that silently returns OR semantics, so
+        # both coerce to the set-algebra brute path
+        if mode in ("pruned", "all_ranges") and \
+                shape not in ("single", "and", "or"):
             mode = "brute"
 
         if mode == "pruned":
@@ -321,9 +336,11 @@ class SearchEngine:
         else:
             # cached: the set-algebra tree references `decoded` once per
             # leaf plus once for scoring — uncached, Spark re-decodes the
-            # blocks for every reference inside the single job
+            # blocks for every reference inside the single job.  Held in
+            # _brute_cache; released on the next query / drop_memory.
             decoded = self._decoded([t for t in terms if dfmap.get(t, 0) > 0],
                                     dfmap).cache()
+            self._brute_cache = decoded
             docs = self._eval_node(node, decoded)
             result = (decoded.join(docs, "doc_id")
                       .groupBy("doc_id").agg(F.sum("score").alias("score")))
