@@ -14,16 +14,14 @@ Spark plan (one declarative DAG; Catalyst handles what oscar hand-built):
       └─▶ doc_stats: range-partitioned quality sort → doc_id
                                      ◀── broadcast join(url) while small
                                                             │
-    terms: groupBy(term).count() = df     N, avgdl (2 scalar aggs)
-                                                            │
-    score = BM25 per (term, doc) — F.expr, whole-stage codegen, no UDF
-                                                            │
-    groupBy(term, range_id).applyInPandas(encode) ──▶ posting blocks
-        range_id = doc_id // RANGE_SIZE  ◀── the salt: EVERY group is
-        bounded by RANGE_SIZE docs, so head terms (df ≈ N) are split
-        into N/RANGE_SIZE bounded groups instead of one giant reducer —
-        the mandated two-phase skew strategy.  Phase 2 (merge partial
-        runs into globally-numbered blocks) is the block_id window.
+    repartition(term, range_id) + sortWithinPartitions ──▶ encode
+        range_id = doc_id // RANGE_SIZE  ◀── the salt: EVERY encode
+        group is bounded by RANGE_SIZE docs, so head terms (df ≈ N) are
+        split into N/RANGE_SIZE bounded groups instead of one giant
+        reducer — the mandated two-phase skew strategy.  Phase 2 (merge
+        partial runs into globally-numbered blocks + df + block-max) is
+        one small repartition(bucket) over the ~rows/BLOCK_SIZE blocks
+        stream, in the same job.
                                                             │
     write doc_stats / terms / postings (+ lineage, manifest commits)
 
@@ -31,8 +29,10 @@ Scale notes (100 TB / 10^12 docs):
 - The only global ordering is docID assignment: per-partition contiguous
   ranges over pinned repartitionByRange partitions with base offsets
   from a collected partition manifest (docids.assign_doc_ids_ranged) —
-  no single-partition stage at any scale.  The term-dictionary id
-  window is the same seam (tiny here; ranged at 10^9+ terms).
+  no single-partition stage at any scale.  There is no global term
+  dictionary: terms shuffle as their (short) strings and are
+  factorized to local codes inside the encoder, so nothing about the
+  vocabulary size ever concentrates on one partition or the driver.
 - tf aggregation happens INSIDE the tokenize UDF (pandas value_counts per
   doc), so the big shuffle moves (term, doc, tf) rows, not raw tokens —
   the map-side-combine analog of oscar's per-thread MatchDesc hash
@@ -51,7 +51,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oscar_spark.build.docids import assign_doc_ids_ranged
@@ -64,13 +64,17 @@ from oscar_spark.functions.tokenize import tokenize_series
 from oscar_spark.sources.tables import IndexStore
 
 TOKENS_SCHEMA = "url string, term string, tf int, dl int"
-# the big shuffle and the encode UDF carry a dictionary-encoded term id
-# (tid), not the term string — oscar's string-table move
-# (reference/oscar-create/OsmKeyValueObjectStore.cpp:1509-1517): posting
-# rows drop ~40% of their shuffle/Arrow bytes and the encoder's group
-# boundary detection becomes int64 compares
+# the big shuffle carries the term STRING, not a dictionary id: web
+# vocabulary terms are short (≈7 bytes, about an int64), so a global
+# term→tid dictionary would trade a SECOND full scan of the token table
+# (distinct), a global id-assignment pass, and two joins for ~zero
+# shuffle-byte savings — and its id assignment was the build's one
+# single-partition stage.  The heavy string (url, ~55 bytes) IS still
+# dropped pre-shuffle via the doc_id join.  Inside the encoder the
+# strings are factorized to local int codes per partition (a C hash
+# pass), so group-boundary detection stays int64.
 BLOCKS_SCHEMA = (
-    "tid long, range_id long, first_doc long, last_doc long, "
+    "term string, range_id long, first_doc long, last_doc long, "
     "doc_count int, max_tf int, min_dl int, payload binary"
 )
 FINAL_BLOCKS_SCHEMA = (
@@ -148,10 +152,17 @@ def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     bound (BM25 ↑ in tf, ↓ in dl) that keeps the per-posting pipeline
     free of any df join or score column.
     """
-    return pd.DataFrame(encode_runs(
-        terms, rngs, ids, tfs, dls, BLOCK_SIZE, RANGE_SIZE,
-        codec=codec)) \
-        .rename(columns={"term": "tid"})
+    # factorize term strings → dense local codes (one C hash pass), so
+    # encode_runs' adjacent-inequality group detection compares int64,
+    # not per-element Python string equality
+    codes, uniq = pd.factorize(terms)
+    res = encode_runs(codes.astype(np.int64), rngs, ids, tfs, dls,
+                      BLOCK_SIZE, RANGE_SIZE, codec=codec)
+    out = pd.DataFrame(res)
+    if len(out):
+        out["term"] = np.asarray(uniq, dtype=object)[
+            out["term"].to_numpy(np.int64)]
+    return out
 
 
 def _encode_partition(batches: Iterator[pd.DataFrame],
@@ -183,7 +194,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
             pdf = pd.concat([pending, pdf], ignore_index=True)
         if len(pdf) == 0:
             continue
-        terms = pdf["tid"].to_numpy()
+        terms = pdf["term"].to_numpy()
         rngs = pdf["range_id"].to_numpy()
         last_group = (terms == terms[-1]) & (rngs == rngs[-1])
         # sorted input ⇒ the trailing group is a suffix
@@ -192,7 +203,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
         pending = pdf.iloc[cut:]
         if len(head):
             yield _encode_run(
-                head["tid"].to_numpy(), head["range_id"].to_numpy(),
+                head["term"].to_numpy(), head["range_id"].to_numpy(),
                 head["doc_id"].to_numpy(np.int64),
                 head["tf"].to_numpy(np.int64),
                 head["dl"].to_numpy(np.int64), codec)
@@ -201,7 +212,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
         pdf = pd.concat(tail, ignore_index=True)
         if len(pdf):
             yield _encode_run(
-                pdf["tid"].to_numpy(), pdf["range_id"].to_numpy(),
+                pdf["term"].to_numpy(), pdf["range_id"].to_numpy(),
                 pdf["doc_id"].to_numpy(np.int64),
                 pdf["tf"].to_numpy(np.int64),
                 pdf["dl"].to_numpy(np.int64), codec)
@@ -394,31 +405,16 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             doc_ids = F.broadcast(doc_ids)
         # else: plain shuffle join; at 10^12 docs the doc_id map is
         # itself big, and AQE picks the join strategy
-        # term dictionary: term → dense tid (oscar's key/value string
-        # tables).  The distinct is map-side partial (one row per term
-        # per partition), the id window runs over the SMALL dict.  At
-        # 10^9+ terms this window becomes the ranged assignment used for
-        # doc_ids (docids.assign_doc_ids_ranged — same seam).
-        term_dict = (
-            tokens.filter(F.col("term").isNotNull())
-            .select("term").distinct()
-            .withColumn("tid", F.row_number().over(
-                Window.orderBy("term")).cast("long") - 1)
-        )
-        # materialize once: the dict is joined twice (posting rows, then
-        # term restoration on the blocks table) and would otherwise
-        # re-scan tokens for its distinct both times
-        term_dict = F.broadcast(term_dict.localCheckpoint(eager=True))
         postings_raw = (
             tokens.filter(F.col("term").isNotNull())
             .join(doc_ids, "url")
-            .join(term_dict, "term")
             .withColumn("range_id",
                         (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
-            # url and term are join-only: drop them BEFORE the big
-            # shuffle (their ~55 string bytes per posting row would be
-            # over half the shuffle/Arrow traffic)
-            .select("tid", "range_id", "doc_id", "tf", "dl")
+            # url is join-only: drop it BEFORE the big shuffle (its ~55
+            # string bytes per posting row would be over half the
+            # shuffle/Arrow traffic).  The short term string stays — see
+            # the BLOCKS_SCHEMA note for why no term dictionary.
+            .select("term", "range_id", "doc_id", "tf", "dl")
         )
         # the one big shuffle: hash-partition by (term, range_id), sort
         # within partitions — Spark's shuffle-with-spill is the external
@@ -430,34 +426,26 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         n_enc = max(spark.sparkContext.defaultParallelism * 4,
                     int(spark.conf.get("spark.sql.shuffle.partitions")))
         blocks = (postings_raw
-                  .repartition(n_enc, "tid", "range_id")
-                  .sortWithinPartitions("tid", "range_id", "doc_id")
+                  .repartition(n_enc, "term", "range_id")
+                  .sortWithinPartitions("term", "range_id", "doc_id")
                   .mapInPandas(
                       lambda it, _c=codec: _encode_partition(it, _c),
                       BLOCKS_SCHEMA))
-        # PHASE-1 CHECKPOINT (the explicit two-phase merge): blocks is
-        # consumed twice below (df aggregation AND the join probe), and
-        # Catalyst re-executes the whole shuffle+encode per consumer —
-        # measured as the postings stage costing ~2.5× its single-pass
-        # parts.  Materialize the partial runs once (~rows/BLOCK_SIZE
-        # rows); phase 2 then runs entirely on the tiny table.  This is
-        # also a resume point, mirroring oscar's OOM partial sorted runs
-        # (reference/oscar-create/readwritefuncs.cpp:340-394).
-        store.write(blocks, "postings_p1")
-        blocks = store.read(spark, "postings_p1")
-        # phase 2 runs on the TINY blocks table (~rows/BLOCK_SIZE): per-
-        # term df, the block-max upper bound, and global block numbering.
-        # A term's blocks live wholly inside its bucket, so ONE shuffle
-        # (repartition by bucket = the final table layout) co-locates
-        # every term's blocks; a sorted-partition kernel then computes
-        # df / block_id / max_score in a single vectorized pass — the
-        # earlier window(tid) + repartition(bucket) shape moved the
-        # payload bytes through two exchanges instead of one.
+        # phase 2 (the explicit two-phase merge) runs on the TINY blocks
+        # stream (~rows/BLOCK_SIZE): per-term df, the block-max upper
+        # bound, and global block numbering.  A term's blocks live
+        # wholly inside its bucket, so ONE small shuffle (repartition by
+        # bucket = the final table layout) co-locates every term's
+        # blocks; a sorted-partition kernel then computes df / block_id
+        # / max_score in a single vectorized pass.  blocks is consumed
+        # exactly once, so the whole stage is ONE job with two
+        # exchanges — an earlier shape parked phase-1 runs in a parquet
+        # checkpoint (the analog of oscar's OOM partial sorted runs,
+        # reference/oscar-create/readwritefuncs.cpp:340-394), which paid
+        # a full write+read of the payload bytes per build; shuffle
+        # retry already covers executor loss.
         final_blocks = (
             blocks
-            # restore the term string from the broadcast dict only on the
-            # tiny blocks table, after all heavy movement
-            .join(term_dict, "tid")
             .withColumn("bucket", F.pmod(F.hash("term"),
                                          F.lit(NUM_TERM_BUCKETS)))
             .repartition(NUM_TERM_BUCKETS, "bucket")
