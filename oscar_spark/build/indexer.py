@@ -45,6 +45,7 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Iterator
@@ -266,6 +267,102 @@ def _finalize_partition(batches: Iterator[pd.DataFrame], n_docs: float,
         yield _finalize_frame(pending, n_docs, avgdl)
 
 
+def _final_blocks(spark: SparkSession, tokens: DataFrame,
+                  doc_stats: DataFrame, n_ids: int, n_corpus: int,
+                  avgdl: float, codec: str) -> DataFrame:
+    """tokens + doc ids → finalized posting-block DataFrame.
+
+    Shared by the full build (n_ids == n_corpus) and the incremental
+    append, which runs it over the NEW segment's tokens/doc ids only
+    (n_ids = new docs, sizing the join; n_corpus/avgdl = whole corpus,
+    feeding the stored max_score diagnostic).
+    """
+    doc_ids = doc_stats.select("url", "doc_id")
+    if n_ids <= BROADCAST_DOCID_MAX:
+        # url→doc_id fits comfortably in a broadcast: the big token
+        # table then shuffles ONCE (by term,range) instead of twice
+        doc_ids = F.broadcast(doc_ids)
+    # else: plain shuffle join; at 10^12 docs the doc_id map is
+    # itself big, and AQE picks the join strategy
+    postings_raw = (
+        tokens.filter(F.col("term").isNotNull())
+        .join(doc_ids, "url")
+        .withColumn("range_id",
+                    (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
+        # url is join-only: drop it BEFORE the big shuffle (its ~55
+        # string bytes per posting row would be over half the
+        # shuffle/Arrow traffic).  The short term string stays — see
+        # the BLOCKS_SCHEMA note for why no term dictionary.
+        .select("term", "range_id", "doc_id", "tf", "dl")
+    )
+    # the one big shuffle: hash-partition by (term, range_id), sort
+    # within partitions — Spark's shuffle-with-spill is the external
+    # sort (O5) — then encode whole partitions with a carry-over
+    # mapInPandas (per-group applyInPandas overhead dominated this
+    # stage: ~115-row groups x ~ms of pandas each)
+    # 4 encode tasks per core: the (term, range_id) hash is mildly
+    # skewed, and coarse tasks leave cores idle behind stragglers
+    n_enc = max(spark.sparkContext.defaultParallelism * 4,
+                int(spark.conf.get("spark.sql.shuffle.partitions")))
+    blocks = (postings_raw
+              .repartition(n_enc, "term", "range_id")
+              .sortWithinPartitions("term", "range_id", "doc_id")
+              .mapInPandas(
+                  lambda it, _c=codec: _encode_partition(it, _c),
+                  BLOCKS_SCHEMA))
+    # phase 2 (the explicit two-phase merge) runs on the TINY blocks
+    # stream (~rows/BLOCK_SIZE): per-term df, the block-max upper
+    # bound, and global block numbering.  A term's blocks live
+    # wholly inside its bucket, so ONE small shuffle (repartition by
+    # bucket = the final table layout) co-locates every term's
+    # blocks; a sorted-partition kernel then computes df / block_id
+    # / max_score in a single vectorized pass.  blocks is consumed
+    # exactly once, so the whole stage is ONE job with two
+    # exchanges — an earlier shape parked phase-1 runs in a parquet
+    # checkpoint (the analog of oscar's OOM partial sorted runs,
+    # reference/oscar-create/readwritefuncs.cpp:340-394), which paid
+    # a full write+read of the payload bytes per build; shuffle
+    # retry already covers executor loss.
+    return (
+        blocks
+        .withColumn("bucket", F.pmod(F.hash("term"),
+                                     F.lit(NUM_TERM_BUCKETS)))
+        .repartition(NUM_TERM_BUCKETS, "bucket")
+        .sortWithinPartitions("term", "first_doc")
+        .mapInPandas(
+            lambda it, _n=float(n_corpus), _a=float(avgdl):
+            _finalize_partition(it, _n, _a),
+            FINAL_BLOCKS_SCHEMA)
+    )
+
+
+def _write_lineage(store: IndexStore, bucket_stats, fp: str,
+                   dps: float) -> None:
+    """Per-bucket lineage rows (BASELINE.json per-partition lineage).
+    bucket_stats is already collected (≤ NUM_TERM_BUCKETS rows), so the
+    table is written driver-side with pyarrow — launching a Spark job to
+    write 64 rows cost ~1-2s of pure scheduling per build."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    sid = store.snapshot_id("postings") or 0
+    now_us = int(time.time() * 1_000_000)
+    ldir = store.path("lineage")
+    shutil.rmtree(ldir, ignore_errors=True)
+    os.makedirs(ldir, exist_ok=True)
+    srt = sorted(bucket_stats, key=lambda r: r["bucket"])
+    pq.write_table(pa.table({
+        "partition_id": pa.array([int(r["bucket"]) for r in srt], pa.int32()),
+        "input_fingerprint": pa.array([fp] * len(srt), pa.string()),
+        "rows_in": pa.array([int(r["rows_in"]) for r in srt], pa.int64()),
+        "terms_out": pa.array([int(r["terms_out"]) for r in srt], pa.int64()),
+        "docs_per_sec": pa.array([float(dps)] * len(srt), pa.float64()),
+        "snapshot_id": pa.array([int(sid)] * len(srt), pa.int64()),
+        "ts": pa.array([now_us] * len(srt), pa.timestamp("us", tz="UTC")),
+    }), os.path.join(ldir, "part-00000.parquet"))
+
+
 @dataclass
 class BuildResult:
     n_docs: int
@@ -290,33 +387,46 @@ def extract_pages(pages: DataFrame) -> DataFrame:
         _extract, "url string, warc_ts timestamp, html binary, lang string, text string")
 
 
+def input_files_sig(pages: DataFrame) -> dict[str, str] | None:
+    """File-backed input → {file URI: "size|mtime"} (driver-side listing,
+    no data scan); None for in-memory input."""
+    import zlib  # noqa: F401  (kept for fingerprint parity)
+    from urllib.parse import unquote, urlparse
+    files = sorted(pages.inputFiles())
+    if not files:
+        return None
+    out = {}
+    for f in files:
+        # urlparse handles every file:-URI form (file:///p, file:/p);
+        # a fixed 7-char slice mangled file:/p paths so size stat
+        # always failed and the fingerprint degraded to names-only
+        p = unquote(urlparse(f).path) if "://" in f or \
+            f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            size, mtime = st.st_size, int(st.st_mtime_ns)
+        except OSError:
+            size, mtime = -1, -1
+        out[f] = f"{size}|{mtime}"
+    return out
+
+
 def input_fingerprint(pages: DataFrame) -> str:
     """Cheap deterministic fingerprint of the input table (resume gate).
 
-    File-backed input: hash of the sorted (path, size) manifest — a
-    driver-side listing, no data scan (the Iceberg-snapshot-id analog;
+    File-backed input: hash of the sorted (path, size, mtime) manifest —
+    a driver-side listing, no data scan (the Iceberg-snapshot-id analog;
     at 10^12 docs a content scan just to decide "did the input change"
     is not acceptable).  In-memory input (tests): content-based scan.
     """
-    import os
     import zlib
-    from urllib.parse import unquote, urlparse
-    files = sorted(pages.inputFiles())
-    if files:
+    sigs = input_files_sig(pages)
+    if sigs is not None:
         h = 0
-        for f in files:
-            # urlparse handles every file:-URI form (file:///p, file:/p);
-            # a fixed 7-char slice mangled file:/p paths so size stat
-            # always failed and the fingerprint degraded to names-only
-            p = unquote(urlparse(f).path) if "://" in f or \
-                f.startswith("file:") else f
-            try:
-                st = os.stat(p)
-                size, mtime = st.st_size, int(st.st_mtime_ns)
-            except OSError:
-                size, mtime = -1, -1
+        for f, s in sorted(sigs.items()):
+            size, mtime = s.split("|")
             h = zlib.crc32(f"{f}|{size}|{mtime};".encode(), h)
-        return f"m{len(files)}-{h:08x}"
+        return f"m{len(sigs)}-{h:08x}"
     row = pages.select(
         F.count("*").alias("n"),
         F.sum(F.crc32(F.col("url"))).alias("u"),
@@ -349,6 +459,24 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     _mark("fingerprint")
     resumed: list[str] = []
 
+    # ---- incremental append (store→store re-import analog,
+    # reference/oscar-create/oscarcreate.cpp:86-116): if the input grew
+    # by whole files while every previously-ingested file is unchanged,
+    # tokenize ONLY the new files and merge their postings into the
+    # committed index as a new segment — a daily crawl drop costs
+    # O(new data), not a rebuild ----
+    if resume:
+        recorded = store.get_meta("input_files")
+        cur = input_files_sig(pages)
+        if (recorded and cur and len(cur) > len(recorded)
+                and not store.committed("postings", f"{fp}|codec={codec}")
+                and store.get_meta("codec", codec) == codec
+                and set(recorded).issubset(cur)
+                and all(cur[f] == recorded[f] for f in recorded)):
+            return _append_index(
+                spark, pages, store, codec, fp, cur,
+                sorted(set(cur) - set(recorded)))
+
     # ---- stage 0: tokens checkpoint ----
     # Tokenize EXACTLY once and checkpoint to parquet.  Two downstream
     # stages (doc_stats, postings) re-read it as cheap columnar scans.
@@ -378,16 +506,37 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         doc_lens = tokens.groupBy("url").agg(
             F.first("dl").alias("doc_len"))
         # quality := doc_len (pinned static score for the fixture corpus)
+        doc_lens = doc_lens.withColumn(
+            "quality", F.col("doc_len").cast("double"))
+        # materialize the per-doc table ONCE: repartitionByRange's
+        # boundary-sample job and the partition-pinning checkpoint inside
+        # assign_doc_ids_ranged would otherwise EACH re-execute the full
+        # tokens scan + groupBy lineage (two extra corpus scans measured
+        # as most of this stage's wall time).  ~one short row per doc;
+        # distributed MEMORY_AND_DISK — on a real cluster a reliable
+        # checkpoint dir / Iceberg staging table plays this role.
+        doc_lens = doc_lens.localCheckpoint(eager=True)
         doc_stats = assign_doc_ids_ranged(
-            doc_lens.withColumn("quality", F.col("doc_len").cast("double")),
+            doc_lens,
             num_partitions=max(spark.sparkContext.defaultParallelism, 8),
         ).select("doc_id", "url", "doc_len", "quality")
         store.write(doc_stats, "doc_stats")
+        # corpus stats from the in-memory doc_lens (not a parquet
+        # re-read); persisted in the manifest so later stages, resumes,
+        # and serve startup never pay an aggregation job for them
+        row = doc_lens.select(
+            F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+        store.set_meta("n_docs", int(row["n"]))
+        store.set_meta("avgdl",
+                       float(row["a"]) if row["a"] is not None else 0.0)
+        doc_lens.unpersist()
         store.commit("doc_stats", fp)
     _mark("doc_stats")
     doc_stats = store.read(spark, "doc_stats")
-    n_docs, avgdl = doc_stats.select(
-        F.count("*"), F.avg("doc_len")).collect()[0]
+    n_docs, avgdl = store.get_meta("n_docs"), store.get_meta("avgdl")
+    if n_docs is None:  # store committed by an older build: derive once
+        n_docs, avgdl = doc_stats.select(
+            F.count("*"), F.avg("doc_len")).collect()[0]
     n_docs, avgdl = int(n_docs), float(avgdl)
 
     # ---- stage 2: postings ----
@@ -398,63 +547,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     if resume and store.committed("postings", pfp):
         resumed.append("postings")
     else:
-        doc_ids = doc_stats.select("url", "doc_id")
-        if n_docs <= BROADCAST_DOCID_MAX:
-            # url→doc_id fits comfortably in a broadcast: the big token
-            # table then shuffles ONCE (by term,range) instead of twice
-            doc_ids = F.broadcast(doc_ids)
-        # else: plain shuffle join; at 10^12 docs the doc_id map is
-        # itself big, and AQE picks the join strategy
-        postings_raw = (
-            tokens.filter(F.col("term").isNotNull())
-            .join(doc_ids, "url")
-            .withColumn("range_id",
-                        (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
-            # url is join-only: drop it BEFORE the big shuffle (its ~55
-            # string bytes per posting row would be over half the
-            # shuffle/Arrow traffic).  The short term string stays — see
-            # the BLOCKS_SCHEMA note for why no term dictionary.
-            .select("term", "range_id", "doc_id", "tf", "dl")
-        )
-        # the one big shuffle: hash-partition by (term, range_id), sort
-        # within partitions — Spark's shuffle-with-spill is the external
-        # sort (O5) — then encode whole partitions with a carry-over
-        # mapInPandas (per-group applyInPandas overhead dominated this
-        # stage: ~115-row groups x ~ms of pandas each)
-        # 4 encode tasks per core: the (term, range_id) hash is mildly
-        # skewed, and coarse tasks leave cores idle behind stragglers
-        n_enc = max(spark.sparkContext.defaultParallelism * 4,
-                    int(spark.conf.get("spark.sql.shuffle.partitions")))
-        blocks = (postings_raw
-                  .repartition(n_enc, "term", "range_id")
-                  .sortWithinPartitions("term", "range_id", "doc_id")
-                  .mapInPandas(
-                      lambda it, _c=codec: _encode_partition(it, _c),
-                      BLOCKS_SCHEMA))
-        # phase 2 (the explicit two-phase merge) runs on the TINY blocks
-        # stream (~rows/BLOCK_SIZE): per-term df, the block-max upper
-        # bound, and global block numbering.  A term's blocks live
-        # wholly inside its bucket, so ONE small shuffle (repartition by
-        # bucket = the final table layout) co-locates every term's
-        # blocks; a sorted-partition kernel then computes df / block_id
-        # / max_score in a single vectorized pass.  blocks is consumed
-        # exactly once, so the whole stage is ONE job with two
-        # exchanges — an earlier shape parked phase-1 runs in a parquet
-        # checkpoint (the analog of oscar's OOM partial sorted runs,
-        # reference/oscar-create/readwritefuncs.cpp:340-394), which paid
-        # a full write+read of the payload bytes per build; shuffle
-        # retry already covers executor loss.
-        final_blocks = (
-            blocks
-            .withColumn("bucket", F.pmod(F.hash("term"),
-                                         F.lit(NUM_TERM_BUCKETS)))
-            .repartition(NUM_TERM_BUCKETS, "bucket")
-            .sortWithinPartitions("term", "first_doc")
-            .mapInPandas(
-                lambda it, _n=float(n_docs), _a=float(avgdl):
-                _finalize_partition(it, _n, _a),
-                FINAL_BLOCKS_SCHEMA)
-        )
+        final_blocks = _final_blocks(spark, tokens, doc_stats, n_docs,
+                                     n_docs, avgdl, codec)
         store.write(final_blocks, "postings", partition_by=["bucket"])
         store.set_meta("codec", codec)
         store.commit("postings", pfp)
@@ -487,25 +581,147 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     elapsed = time.time() - t0
     dps = n_docs / elapsed if elapsed > 0 else 0.0
 
-    # ---- lineage (per index bucket; BASELINE.json per-partition lineage) ----
-    sid = store.snapshot_id("postings") or 0
-    lineage = (
-        spark.createDataFrame(
-            bucket_stats,
-            "bucket int, rows_in long, terms_out long, blocks_out long")
-        .select("bucket", "rows_in", "terms_out")
-        .withColumn("partition_id", F.col("bucket").cast("int"))
-        .withColumn("input_fingerprint", F.lit(fp))
-        .withColumn("docs_per_sec", F.lit(float(dps)))
-        .withColumn("snapshot_id", F.lit(int(sid)).cast("long"))
-        .withColumn("ts", F.current_timestamp())
-        .select("partition_id", "input_fingerprint", "rows_in",
-                "terms_out", "docs_per_sec", "snapshot_id", "ts")
-    )
-    store.write(lineage, "lineage")
+    _write_lineage(store, bucket_stats, fp, dps)
+    # per-file input manifest: the append-detection baseline for the
+    # next build over a grown input
+    sigs = input_files_sig(pages)
+    if sigs:
+        store.set_meta("input_files", sigs)
     _mark("lineage_and_counts")
 
     return BuildResult(n_docs=n_docs, avgdl=avgdl, n_terms=n_terms,
                        n_blocks=int(n_blocks), docs_per_sec=dps,
                        elapsed_sec=elapsed, resumed_stages=resumed,
+                       stage_secs=stage_secs)
+
+
+def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
+                  codec: str, fp: str, cur_sigs: dict[str, str],
+                  new_files: list[str]) -> BuildResult:
+    """Merge NEW input files into a committed index as one segment.
+
+    Every heavy step touches only the new data; the single committed-
+    data rewrite is the (tiny, block-level) terms table merge.  All
+    manifest changes land in ONE atomic commit_append, so a crash at
+    any point leaves either the old snapshot or the new one.
+
+    New docs take doc_ids after the committed id space (quality-ranked
+    among themselves).  BM25 scores stay exact because serve derives
+    them at query time from tf/dl payloads + the merged df / n_docs /
+    avgdl — nothing score-bearing is baked into committed payloads.
+    """
+    import zlib
+    t0 = time.time()
+    stage_secs: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        stage_secs[name] = round(now - _last[0], 2)
+        _last[0] = now
+
+    seg = "a%08x" % zlib.crc32(";".join(new_files).encode())
+    n_old = int(store.get_meta("n_docs"))
+    avgdl_old = float(store.get_meta("avgdl"))
+
+    # ---- tokenize ONLY the new files.  input_file_name() and
+    # DataFrame.inputFiles() render file URIs differently across sources
+    # (file:/p vs file:///p), so both sides are normalized to plain
+    # paths before comparing ----
+    from urllib.parse import unquote, urlparse
+
+    def _norm(f: str) -> str:
+        return unquote(urlparse(f).path) if f.startswith("file:") or \
+            "://" in f else f
+
+    new_pages = (
+        pages.withColumn(
+            "_f", F.regexp_replace(F.input_file_name(), "^[a-z]+:/+", "/"))
+        .filter(F.col("_f").isin([_norm(f) for f in new_files]))
+        .drop("_f"))
+    store.write_segment(
+        new_pages.select("url", "text").mapInPandas(
+            _tokenize_batches, TOKENS_SCHEMA), "tokens", seg)
+    _mark("tokens_append")
+    tokens_new = store.read_segment(spark, "tokens", seg)
+
+    # ---- doc ids for the new docs, offset past the committed space ----
+    doc_lens = (tokens_new.groupBy("url")
+                .agg(F.first("dl").alias("doc_len"))
+                .withColumn("quality", F.col("doc_len").cast("double"))
+                .localCheckpoint(eager=True))
+    doc_stats_new = (
+        assign_doc_ids_ranged(
+            doc_lens,
+            num_partitions=max(spark.sparkContext.defaultParallelism, 8))
+        .withColumn("doc_id", (F.col("doc_id") + F.lit(n_old)).cast("long"))
+        .select("doc_id", "url", "doc_len", "quality"))
+    store.write_segment(doc_stats_new, "doc_stats", seg)
+    row = doc_lens.select(F.count("*").alias("n"),
+                          F.sum("doc_len").alias("s")).collect()[0]
+    n_new, dl_sum_new = int(row["n"]), int(row["s"] or 0)
+    n_total = n_old + n_new
+    avgdl_total = ((avgdl_old * n_old + dl_sum_new) / n_total
+                   if n_total else 0.0)
+    doc_lens.unpersist()
+    _mark("doc_stats_append")
+
+    # ---- postings for the new docs (same pipeline, new data only) ----
+    final_new = _final_blocks(
+        spark, tokens_new, store.read_segment(spark, "doc_stats", seg),
+        n_new, n_total, avgdl_total, codec)
+    # continue each term's block numbering after its committed blocks
+    terms_old = store.read(spark, "terms")
+    final_new = (
+        final_new
+        .join(terms_old.select("term", F.col("n_blocks").alias("_ob")),
+              "term", "left")
+        .withColumn("block_id", (F.col("block_id") +
+                                 F.coalesce(F.col("_ob"), F.lit(0)))
+                    .cast("int"))
+        .select(*_FINAL_COLS))
+    store.write_segment(final_new, "postings", seg, partition_by=["bucket"])
+    _mark("postings_append")
+
+    # ---- merged terms: old + new df/n_blocks, written as a NEW segment
+    # that atomically REPLACES the old one at commit (no self-overwrite,
+    # no window where df disagrees with the visible postings) ----
+    terms_new = (store.read_segment(spark, "postings", seg)
+                 .groupBy("bucket", "term")
+                 .agg(F.sum("doc_count").cast("long").alias("df"),
+                      F.count("*").cast("long").alias("n_blocks")))
+    merged = (terms_old.unionByName(terms_new)
+              .groupBy("bucket", "term")
+              .agg(F.sum("df").cast("long").alias("df"),
+                   F.sum("n_blocks").cast("long").alias("n_blocks")))
+    store.write_segment(merged, "terms", seg, partition_by=["bucket"])
+    _mark("terms_append")
+
+    # ---- ONE atomic snapshot commit ----
+    pfp = f"{fp}|codec={codec}"
+    store.commit_append(
+        add={"tokens": [seg], "doc_stats": [seg], "postings": [seg]},
+        replace={"terms": [seg]},
+        meta={"n_docs": n_total, "avgdl": avgdl_total,
+              "input_files": cur_sigs, "codec": codec},
+        stage_fingerprints={"tokens": fp, "doc_stats": fp,
+                            "postings": pfp, "terms": fp},
+    )
+
+    terms = store.read(spark, "terms")
+    bucket_stats = terms.groupBy("bucket").agg(
+        F.sum("df").alias("rows_in"),
+        F.count("*").alias("terms_out"),
+        F.sum("n_blocks").alias("blocks_out")).collect()
+    n_terms = sum(r["terms_out"] for r in bucket_stats)
+    n_blocks = sum(r["blocks_out"] for r in bucket_stats)
+    elapsed = time.time() - t0
+    dps = n_new / elapsed if elapsed > 0 else 0.0  # appended-docs rate
+    _write_lineage(store, bucket_stats, fp, dps)
+    _mark("lineage_and_counts")
+
+    return BuildResult(n_docs=n_total, avgdl=avgdl_total, n_terms=n_terms,
+                       n_blocks=int(n_blocks), docs_per_sec=dps,
+                       elapsed_sec=elapsed,
+                       resumed_stages=[f"append:{seg}"],
                        stage_secs=stage_secs)

@@ -9,11 +9,26 @@ reference/oscar-create/CellTextCompleter.cpp:227-243) without copying any
 of their layouts.
 
 Payload layout of a posting block (see build/indexer.py):
-    varint stream of 3*n values:
-        [0:n)    doc-id deltas (first value = first_doc - range_base)
-        [n:2n)   term frequencies (tf)
-        [2n:3n)  document lengths (dl, in tokens)
+    1 flag byte, then a varint (or pfor) value stream:
+      flag 0 (explicit ids), 3*n values:
+        [0]        first doc-id delta (first_doc - range_base)
+        [1:n+1)    term frequencies (tf)
+        [n+1:2n+1) document lengths (dl, in tokens)
+        [2n+1:3n)  remaining doc-id deltas (ids[1:] - ids[:-1])
+      flag 1 (DENSE ids — the block's ids are consecutive), 2*n+1 values:
+        [0]        first doc-id delta
+        [1:n+1)    tf
+        [n+1:2n+1) dl
+        doc ids reconstruct as range_base + delta0 + arange(n).
 n (doc_count) lives in the block's metadata columns, not the payload.
+
+The dense form is the analog of oscar's fully-matched-cell elision
+(reference/oscar-create/CellTextCompleter.cpp:66-69, payload split
+CellTextCompleter.h:457-473): a head term matching every doc of a
+docID range (stopwords over quality-sorted ids do this constantly)
+stores no per-posting id information at all — at web scale that is the
+difference between ~10^12 explicit deltas and a flag per range.  tf/dl
+still encode (BM25 needs them), unlike the reference's boolean cells.
 
 Both encode and decode are O(max_bytes_per_value) numpy passes — at most
 10 vector ops over the whole stream, never a Python loop over values.
@@ -79,21 +94,34 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                 range_base: int) -> bytes:
-    """Delta-encode sorted doc_ids and pack (deltas, tfs, dls) as one stream."""
+FLAG_EXPLICIT = 0
+FLAG_DENSE = 1
+
+
+def _block_stream(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  range_base: int) -> tuple[int, np.ndarray]:
+    """→ (flag, value stream) for one block in payload order."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    n = len(doc_ids)
     deltas = np.empty_like(doc_ids)
     deltas[0] = doc_ids[0] - range_base
     np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
     if (deltas[1:] <= 0).any():
         raise ValueError("doc_ids must be strictly increasing within a block")
-    stream = np.concatenate([
-        deltas.astype(np.uint64),
-        np.ascontiguousarray(tfs, dtype=np.uint64),
-        np.ascontiguousarray(dls, dtype=np.uint64),
-    ])
-    return varint_encode(stream)
+    head = [deltas[:1].astype(np.uint64),
+            np.ascontiguousarray(tfs, dtype=np.uint64),
+            np.ascontiguousarray(dls, dtype=np.uint64)]
+    if doc_ids[-1] - doc_ids[0] + 1 == n:  # consecutive ids: elide deltas
+        return FLAG_DENSE, np.concatenate(head)
+    return FLAG_EXPLICIT, np.concatenate(head + [deltas[1:].astype(np.uint64)])
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                 range_base: int) -> bytes:
+    """Delta-encode sorted doc_ids and pack (delta0, tfs, dls[, deltas])
+    as one flag-prefixed stream (dense form when ids are consecutive)."""
+    flag, stream = _block_stream(doc_ids, tfs, dls, range_base)
+    return bytes([flag]) + varint_encode(stream)
 
 
 def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
@@ -141,25 +169,34 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     if ((deltas <= 0) & ~bmask).any():
         raise ValueError("doc_ids must be strictly increasing within a block")
     deltas[bstarts] = ids[bstarts] - rngs[bstarts] * range_size
-    # permute values into per-block [deltas | tfs | dls] stream order
+    # permute values into per-block [delta0 | tfs | dls | deltas[1:]]
+    # stream order — tf/dl first so a DENSE block (consecutive ids, the
+    # head-term/stopword case) is a contiguous PREFIX of its section and
+    # the trailing deltas are simply not sliced into the payload
     boff = np.arange(n, dtype=np.int64) - np.repeat(bstarts, counts)
     base3 = np.repeat(3 * bstarts, counts)
     cnt_r = np.repeat(counts, counts)
     stream = np.empty(3 * n, dtype=np.uint64)
-    d_idx = base3 + boff
-    stream[d_idx] = deltas.astype(np.uint64)
-    stream[d_idx + cnt_r] = tfs.astype(np.uint64)
-    stream[d_idx + 2 * cnt_r] = dls.astype(np.uint64)
+    stream[np.where(boff == 0, base3, base3 + 2 * cnt_r + boff)] = \
+        deltas.astype(np.uint64)
+    stream[base3 + 1 + boff] = tfs.astype(np.uint64)
+    stream[base3 + 1 + cnt_r + boff] = dls.astype(np.uint64)
+    dense = (ids[bends - 1] - ids[bstarts] + 1) == counts
+    # values per block: 2c+1 when dense (deltas elided), 3c otherwise
+    v_end = 3 * bstarts + np.where(dense, 2 * counts + 1, 3 * counts)
+    flags = np.where(dense, FLAG_DENSE, FLAG_EXPLICIT).astype(np.uint8)
     if codec == "pfor":
         # flagged variant: per-block patched frame-of-reference over the
         # same permuted stream (smaller payloads, slower encode)
-        payloads = [pfor_encode(stream[3 * s:3 * e])
-                    for s, e in zip(bstarts.tolist(), bends.tolist())]
+        payloads = [bytes([f]) + pfor_encode(stream[3 * s:e])
+                    for f, s, e in zip(flags.tolist(), bstarts.tolist(),
+                                       v_end.tolist())]
     else:
         raw, offs = varint_encode_with_offsets(stream)
         bs = offs[3 * bstarts].tolist()
-        be = offs[3 * bends].tolist()
-        payloads = [raw[s:e] for s, e in zip(bs, be)]
+        be = offs[v_end].tolist()
+        payloads = [bytes([f]) + raw[s:e]
+                    for f, s, e in zip(flags.tolist(), bs, be)]
     return {
         "term": terms[bstarts],
         "range_id": rngs[bstarts],
@@ -172,17 +209,36 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     }
 
 
+def _stream_to_block(stream: np.ndarray, flag: int, doc_count: int,
+                     range_base: int):
+    """Shared flag-dispatch: value stream → (doc_ids, tfs, dls)."""
+    n = doc_count
+    if flag == FLAG_DENSE:
+        if stream.shape[0] != 2 * n + 1:
+            raise ValueError(
+                f"corrupt dense block: {stream.shape[0]} values for "
+                f"doc_count={n}")
+        first = int(stream[0]) + range_base
+        doc_ids = np.arange(first, first + n, dtype=np.int64)
+    elif flag == FLAG_EXPLICIT:
+        if stream.shape[0] != 3 * n:
+            raise ValueError(
+                f"corrupt block: {stream.shape[0]} values for doc_count={n}")
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[0] = stream[0]
+        deltas[1:] = stream[2 * n + 1:].astype(np.int64)
+        doc_ids = np.cumsum(deltas) + range_base
+    else:
+        raise ValueError(f"unknown block flag {flag}")
+    tfs = stream[1:n + 1].astype(np.int64)
+    dls = stream[n + 1:2 * n + 1].astype(np.int64)
+    return doc_ids, tfs, dls
+
+
 def decode_block(payload: bytes, doc_count: int, range_base: int):
     """Inverse of encode_block → (doc_ids:int64, tfs:int64, dls:int64)."""
-    stream = varint_decode(payload)
-    if stream.shape[0] != 3 * doc_count:
-        raise ValueError(
-            f"corrupt block: {stream.shape[0]} values for doc_count={doc_count}")
-    deltas = stream[:doc_count].astype(np.int64)
-    doc_ids = np.cumsum(deltas) + range_base
-    tfs = stream[doc_count:2 * doc_count].astype(np.int64)
-    dls = stream[2 * doc_count:].astype(np.int64)
-    return doc_ids, tfs, dls
+    return _stream_to_block(varint_decode(payload[1:]), payload[0],
+                            doc_count, range_base)
 
 
 # ---- PForDelta codec variant ----
@@ -277,31 +333,13 @@ def pfor_decode(buf: bytes) -> np.ndarray:
 def pfor_encode_block(doc_ids: np.ndarray, tfs: np.ndarray,
                       dls: np.ndarray, range_base: int) -> bytes:
     """PForDelta twin of encode_block (same value stream layout)."""
-    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
-    deltas = np.empty_like(doc_ids)
-    deltas[0] = doc_ids[0] - range_base
-    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
-    if (deltas[1:] <= 0).any():
-        raise ValueError("doc_ids must be strictly increasing within a block")
-    stream = np.concatenate([
-        deltas.astype(np.uint64),
-        np.ascontiguousarray(tfs, dtype=np.uint64),
-        np.ascontiguousarray(dls, dtype=np.uint64),
-    ])
-    return pfor_encode(stream)
+    flag, stream = _block_stream(doc_ids, tfs, dls, range_base)
+    return bytes([flag]) + pfor_encode(stream)
 
 
 def pfor_decode_block(payload: bytes, doc_count: int, range_base: int):
-    stream = pfor_decode(payload)
-    if stream.shape[0] != 3 * doc_count:
-        raise ValueError(
-            f"corrupt pfor block: {stream.shape[0]} values for "
-            f"doc_count={doc_count}")
-    deltas = stream[:doc_count].astype(np.int64)
-    doc_ids = np.cumsum(deltas) + range_base
-    tfs = stream[doc_count:2 * doc_count].astype(np.int64)
-    dls = stream[2 * doc_count:].astype(np.int64)
-    return doc_ids, tfs, dls
+    return _stream_to_block(pfor_decode(payload[1:]), payload[0],
+                            doc_count, range_base)
 
 
 BLOCK_DECODERS = {"varint": decode_block, "pfor": pfor_decode_block}

@@ -49,7 +49,7 @@ from oscar_spark.serve import parser
 from oscar_spark.sources.tables import IndexStore
 
 _META_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
-              "last_doc", "doc_count", "max_tf", "max_score"]
+              "last_doc", "doc_count", "max_tf", "min_dl"]
 
 
 def _tree_shape(node) -> str:
@@ -80,10 +80,16 @@ class SearchEngine:
         self.postings = self.store.read(spark, "postings")
         self.terms = self.store.read(spark, "terms")
         self.doc_stats = self.store.read(spark, "doc_stats")
-        row = self.doc_stats.select(
-            F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
-        self.n_docs = int(row["n"])
-        self.avgdl = float(row["a"]) if row["a"] is not None else 0.0
+        n_docs, avgdl = (self.store.get_meta("n_docs"),
+                         self.store.get_meta("avgdl"))
+        if n_docs is None:  # index from an older build: aggregate once
+            row = self.doc_stats.select(
+                F.count("*").alias("n"),
+                F.avg("doc_len").alias("a")).collect()[0]
+            n_docs = int(row["n"])
+            avgdl = float(row["a"]) if row["a"] is not None else 0.0
+        self.n_docs = int(n_docs)
+        self.avgdl = float(avgdl)
         # codec recorded by the build (varint default, pfor variant)
         self._decode = BLOCK_DECODERS[
             self.store.get_meta("codec", "varint")]
@@ -359,9 +365,25 @@ class SearchEngine:
                 require_all, local_k=k)
         meta = self._blocks(present, meta_only=True)
 
-        # range-level upper bounds from block metadata only (no payload IO)
-        per_term = meta.groupBy("range_id", "term").agg(
-            F.max("max_score").alias("ms"))
+        # range-level upper bounds from block metadata only (no payload
+        # IO).  The bound is DERIVED AT QUERY TIME from the df-free
+        # (max_tf, min_dl) block columns plus the CURRENT df/N/avgdl:
+        # bm25 is monotone ↑ tf and ↓ dl, so bm25(max tf, min dl, df) ≥
+        # every true block score.  The build-time max_score column would
+        # go silently stale — an unsafe (possibly too-low) bound — the
+        # moment an append changes df/N/avgdl; live derivation keeps
+        # pruning exact across incremental ingests for free.
+        from oscar_spark.functions.bm25 import bm25_sql
+        df_tbl = self.spark.createDataFrame(
+            [(t, float(dfmap[t])) for t in present], "term string, df double")
+        per_term = (
+            meta.groupBy("range_id", "term")
+            .agg(F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl"))
+            .join(F.broadcast(df_tbl), "term")
+            .withColumn("ms", F.expr(bm25_sql(
+                "mtf", "mdl", "df", repr(float(self.n_docs)),
+                repr(float(self.avgdl)))))
+            .select("range_id", "term", "ms"))
         agg = per_term.groupBy("range_id").agg(
             F.sum("ms").alias("ub"), F.count("*").alias("nt"))
         if require_all is not None:

@@ -33,6 +33,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 STAGES = ("doc_stats", "postings", "terms")
 
@@ -86,18 +87,99 @@ class IndexStore:
         return self.manifest().get("meta", {}).get(key, default)
 
     # --- table IO ---
+    # Every table is written under an outer `seg=<name>` partition level
+    # (the base build is seg=base; each incremental append adds one) and
+    # reads filter to the MANIFEST-LISTED segments — the sandbox analog
+    # of Iceberg snapshot isolation: a crashed append's half-written
+    # segment directory is simply never listed, so it is invisible, and
+    # "commit" is one atomic manifest replace.  Spark prunes the seg
+    # partition, so the filter costs file-listing only.
+
     def path(self, table: str) -> str:
         return os.path.join(self.dir, table)
 
+    def segments(self, table: str) -> list[str]:
+        m = self.manifest()
+        return m.get("segments", {}).get(table, ["base"])
+
+    def _set_segments(self, table: str, segs: list[str]) -> None:
+        m = self.manifest()
+        m.setdefault("segments", {})[table] = segs
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
     def write(self, df: DataFrame, table: str,
               partition_by: list[str] | None = None) -> None:
+        """Full (re)write of a table as its `base` segment.
+
+        The seg value comes from the DIRECTORY NAME (seg=base/), not a
+        data column: partitionBy("seg") on a constant column routed the
+        biggest write of the build through Spark's dynamic-partition
+        sort path and measurably halved tokenize-stage scaling."""
+        import shutil
+        shutil.rmtree(self.path(table), ignore_errors=True)
+        self.write_segment(df, table, "base", partition_by)
+        self._set_segments(table, ["base"])
+
+    def write_segment(self, df: DataFrame, table: str, segment: str,
+                      partition_by: list[str] | None = None) -> None:
+        """Write one NEW segment of a table; invisible to read() until
+        commit_segment() lists it in the manifest.  Files go directly
+        into the table's seg=<name> directory (same layout partitionBy
+        would produce for that one seg value)."""
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(table))
+        w.parquet(os.path.join(self.path(table), f"seg={segment}"))
+
+    def commit_segment(self, table: str, segment: str) -> None:
+        segs = self.segments(table)
+        if segment not in segs:
+            self._set_segments(table, segs + [segment])
+
+    def commit_append(self, add: dict[str, list[str]] | None = None,
+                      replace: dict[str, list[str]] | None = None,
+                      meta: dict | None = None,
+                      stage_fingerprints: dict[str, str] | None = None) -> None:
+        """ONE atomic manifest replace covering an entire incremental
+        append: segment additions, segment swaps (e.g. the merged terms
+        table replacing its predecessor), metadata updates, and stage
+        fingerprint bumps.  All segment DIRECTORIES must already be
+        fully written; a crash before this call leaves the old snapshot
+        intact, a crash after it the new one — never a mix."""
+        m = self.manifest()
+        for t, segs in (add or {}).items():
+            cur = m.setdefault("segments", {}).setdefault(t, ["base"])
+            for s in segs:
+                if s not in cur:
+                    cur.append(s)
+        for t, segs in (replace or {}).items():
+            m.setdefault("segments", {})[t] = segs
+        for k, v in (meta or {}).items():
+            m.setdefault("meta", {})[k] = v
+        sid = m["next_snapshot_id"]
+        for stage, fpv in (stage_fingerprints or {}).items():
+            m["snapshots"][stage] = {"fingerprint": fpv,
+                                     "snapshot_id": sid, "ts": time.time()}
+            sid += 1
+        m["next_snapshot_id"] = sid
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.manifest_path)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self.path(table))
+        df = spark.read.option("basePath", self.path(table)) \
+            .parquet(self.path(table))
+        segs = self.segments(table)
+        if "seg" in df.columns:
+            return df.filter(F.col("seg").isin(segs)).drop("seg")
+        return df  # legacy layout (pre-segment store)
 
-    def append(self, df: DataFrame, table: str) -> None:
-        df.write.mode("append").parquet(self.path(table))
+    def read_segment(self, spark: SparkSession, table: str,
+                     segment: str) -> DataFrame:
+        df = spark.read.option("basePath", self.path(table)) \
+            .parquet(self.path(table))
+        return df.filter(F.col("seg") == segment).drop("seg")

@@ -1,0 +1,123 @@
+"""Incremental append ingest (store→store re-import analog,
+reference/oscar-create/oscarcreate.cpp:86-116): build on pages[0:200],
+drop pages[200:300] as new input files, rebuild with resume=True —
+only the new files are ingested, and the merged index is rank-identical
+to a 300-doc oracle."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from oscar_spark.config import SCORE_ROUND
+
+APPEND_QUERIES = ["the", "city + state", "war history world",
+                  "wd0001", "time - year", "first + one + two"]
+
+
+def _write_pages_file(pdf, path: str) -> None:
+    pdf = pdf.copy()
+    # Spark's parquet reader rejects TIMESTAMP(NANOS); write microseconds
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+@pytest.fixture(scope="module")
+def appended(spark, tmp_path_factory):
+    """(index_dir, pages_dir, full_pdf, append_result) after 200+100."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import generate_pages
+
+    tmp = tmp_path_factory.mktemp("append")
+    pdf = generate_pages(300)
+    pdir = tmp / "pages"
+    pdir.mkdir()
+    _write_pages_file(pdf.iloc[:200], str(pdir / "part-0.parquet"))
+    d = str(tmp / "idx")
+    res1 = build_index(spark, spark.read.parquet(str(pdir)), d)
+    assert res1.n_docs == 200 and not res1.resumed_stages
+
+    _write_pages_file(pdf.iloc[200:], str(pdir / "part-1.parquet"))
+    res2 = build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+    return d, str(pdir), pdf, res2
+
+
+def test_append_detected_and_counts(appended):
+    d, pdir, pdf, res2 = appended
+    assert res2.resumed_stages and \
+        res2.resumed_stages[0].startswith("append:")
+    assert res2.n_docs == 300
+    # appended throughput accounts only the NEW docs
+    assert res2.docs_per_sec > 0
+
+
+def test_append_then_identical_resume(spark, appended):
+    from oscar_spark.build.indexer import build_index
+    d, pdir, pdf, _ = appended
+    res3 = build_index(spark, spark.read.parquet(pdir), d, resume=True)
+    assert set(res3.resumed_stages) >= {"tokens", "doc_stats", "postings",
+                                        "terms"}
+    assert res3.n_docs == 300
+
+
+def test_append_rank_identity_vs_300_doc_oracle(spark, appended):
+    """Merged index == oracle over all 300 docs (ids from the appended
+    index's own doc_stats), on both brute and block-max-pruned paths."""
+    from oscar_spark.oracle.engine import OracleIndex
+    from oscar_spark.serve.executor import SearchEngine
+    from oscar_spark.sources.tables import IndexStore
+
+    d, pdir, pdf, _ = appended
+    ds = {r["url"]: r["doc_id"] for r in
+          IndexStore(d).read(spark, "doc_stats").collect()}
+    assert len(ds) == 300
+    oracle = OracleIndex([(int(ds[u]), t)
+                          for u, t in zip(pdf["url"], pdf["text"])])
+    eng = SearchEngine(spark, d)
+    assert eng.n_docs == 300
+    assert eng.avgdl == pytest.approx(oracle.avgdl)
+    for q in APPEND_QUERIES:
+        expected = oracle.search(q, k=10)
+        for mode in ("brute", "pruned"):
+            got = eng.search(q, k=10, mode=mode)
+            assert [i for i, _ in got] == [i for i, _ in expected], \
+                (q, mode)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
+
+
+def test_append_df_equals_fresh_build(spark, appended, tmp_path):
+    """Per-term df after append == df of a from-scratch 300-doc build
+    (block counts may differ — appends never rewrite committed blocks)."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.sources.tables import IndexStore
+
+    d, pdir, pdf, _ = appended
+    d_fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.read.parquet(pdir), d_fresh)
+    df_a = {r["term"]: int(r["df"]) for r in
+            IndexStore(d).read(spark, "terms").collect()}
+    df_f = {r["term"]: int(r["df"]) for r in
+            IndexStore(d_fresh).read(spark, "terms").collect()}
+    assert df_a == df_f
+
+
+def test_append_block_invariants(spark, appended):
+    """Strict doc-id monotonicity inside every block (old and new
+    segments) and per-term dense block numbering across segments."""
+    from oscar_spark.functions.codec import decode_block
+    from oscar_spark.sources.tables import IndexStore
+
+    d, _, _, _ = appended
+    rows = IndexStore(d).read(spark, "postings").collect()
+    from oscar_spark.config import RANGE_SIZE
+    per_term: dict[str, list[int]] = {}
+    for r in rows:
+        ids, _, _ = decode_block(bytes(r["payload"]), r["doc_count"],
+                                 r["range_id"] * RANGE_SIZE)
+        assert (ids[1:] > ids[:-1]).all()
+        assert ids[0] == r["first_doc"] and ids[-1] == r["last_doc"]
+        per_term.setdefault(r["term"], []).append(int(r["block_id"]))
+    for t, bids in per_term.items():
+        assert sorted(bids) == list(range(len(bids))), t
