@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_prefix": lambda s, d: fts.prefix_search(s, d, "qu"),
         "fts_facet_stats": lambda s, d: fts.facet_stats(s, d, "data"),
         "fts_facet_entropy": lambda s, d: fts.facet_entropy(s, d, "data"),
+        # shannonKvstats exclusion-set parity (Workfunctions.cpp:171-233)
+        "fts_facet_entropy_excl": lambda s, d: fts.facet_entropy(
+            s, d, "data", exclude_keys=("source",),
+            exclude_values=("lang=en",)),
         # --- dedup suite ---
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_sigs": dedup.minhash_signatures,
@@ -58,8 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk(s, d, 0, 10),
         "sim_ann_lsh": lambda s, d: similarity.ann_lsh_topk(s, d, 0, 10),
         "sim_label_centroids": similarity.label_centroids,
+        # banded LSH (2 bands × 32 buckets); n_planes pinned so the
+        # DuckDB oracle agrees — production path auto-scales via
+        # similarity.auto_planes
         "dedup_embed_cosine": lambda s, d: similarity.cosine_near_dup_pairs(
-            s, d, threshold=0.35),
+            s, d, threshold=0.35, n_planes=5, n_bands=2),
         # --- multimodal plumbing (binary payload → features; stubbed
         # decode is a deterministic fake, so it still gets a full value
         # oracle) ---
@@ -102,6 +109,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_prefix": fts.prefix_search_sql("qu"),
         "fts_facet_stats": fts.facet_stats_sql("data"),
         "fts_facet_entropy": fts.facet_entropy_sql("data"),
+        "fts_facet_entropy_excl": fts.facet_entropy_sql(
+            "data", exclude_keys=("source",), exclude_values=("lang=en",)),
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_minhash_sigs": dedup.MINHASH_SQL,
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
@@ -110,7 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": similarity.cosine_topk_sql(0, 10),
         "sim_ann_lsh": similarity.ann_lsh_topk_sql(0, 10),
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
-        "dedup_embed_cosine": similarity.cosine_near_dup_pairs_sql(0.35),
+        "dedup_embed_cosine": similarity.cosine_near_dup_pairs_sql(
+            0.35, n_planes=5, n_bands=2),
         "mm_features": multimodal.MEDIA_FEATURES_SQL,
         "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,

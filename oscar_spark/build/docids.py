@@ -40,8 +40,16 @@ def assign_doc_ids_window(doc_lens: DataFrame) -> DataFrame:
 
 
 def assign_doc_ids_ranged(doc_lens: DataFrame,
-                          num_partitions: int = 32) -> DataFrame:
-    """Same mapping, no global window: range partitions + base offsets."""
+                          num_partitions: int = 32,
+                          stats_col: str | None = None):
+    """Same mapping, no global window: range partitions + base offsets.
+
+    stats_col: when given, the manifest collect ALSO aggregates
+    count/sum of that column and the function returns
+    (df, {"n": int, "sum": float}) — corpus stats ride along on the
+    job that had to run anyway instead of costing their own job
+    (per-job launch latency is a fixed cost that eats N→4N scaling
+    efficiency at bench scale)."""
     spark = doc_lens.sparkSession
     ranged = (doc_lens
               .repartitionByRange(num_partitions, *_order())
@@ -58,8 +66,11 @@ def assign_doc_ids_ranged(doc_lens: DataFrame,
     # re-sample.)
     ranged = ranged.localCheckpoint(eager=True)
     # the committed partition manifest: pid → row count (tiny collect)
-    counts = {r["_pid"]: r["n"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    aggs = [F.count("*").alias("n")]
+    if stats_col is not None:
+        aggs.append(F.sum(stats_col).alias("s"))
+    man = ranged.groupBy("_pid").agg(*aggs).collect()
+    counts = {r["_pid"]: r["n"] for r in man}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -83,4 +94,8 @@ def assign_doc_ids_ranged(doc_lens: DataFrame,
 
     # mapInPandas preserves the within-partition sort order, so ids are
     # sequential in (quality DESC, url ASC) order partition by partition
-    return ranged.mapInPandas(assign, schema)
+    out = ranged.mapInPandas(assign, schema)
+    if stats_col is not None:
+        total = sum((r["s"] or 0) for r in man)
+        return out, {"n": acc, "sum": float(total)}
+    return out

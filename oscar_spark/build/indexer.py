@@ -437,12 +437,16 @@ def input_fingerprint(pages: DataFrame) -> str:
 
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 resume: bool = False,
-                codec: str | None = None) -> BuildResult:
+                codec: str | None = None,
+                dedup_payloads: bool = False) -> BuildResult:
     """Build the full index (doc_stats, terms, postings, lineage).
 
     codec: posting payload codec ("varint" | "pfor"); defaults to
     config.POSTINGS_CODEC.  Recorded in the store manifest; serve
-    dispatches on it."""
+    dispatches on it.
+    dedup_payloads: store each distinct posting payload once (A7,
+    ItemIndexFactory analog) at the cost of a payload-fetch join in
+    serve; recorded in the manifest, serve adapts automatically."""
     from oscar_spark.config import POSTINGS_CODEC
     codec = codec or POSTINGS_CODEC
     t0 = time.time()
@@ -471,6 +475,10 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         if (recorded and cur and len(cur) > len(recorded)
                 and not store.committed("postings", f"{fp}|codec={codec}")
                 and store.get_meta("codec", codec) == codec
+                # payload-dedup stores rebuild on growth: an append
+                # would need a dedup-aware merge of the payloads table
+                and not store.get_meta("payload_dedup", False)
+                and not dedup_payloads
                 and set(recorded).issubset(cur)
                 and all(cur[f] == recorded[f] for f in recorded)):
             return _append_index(
@@ -516,19 +524,19 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         # distributed MEMORY_AND_DISK — on a real cluster a reliable
         # checkpoint dir / Iceberg staging table plays this role.
         doc_lens = doc_lens.localCheckpoint(eager=True)
-        doc_stats = assign_doc_ids_ranged(
+        # corpus stats (n_docs, Σdl) ride along on the docID manifest
+        # collect — no separate aggregation job — and persist in the
+        # manifest so later stages, resumes, and serve startup never
+        # pay one either
+        doc_stats, stats = assign_doc_ids_ranged(
             doc_lens,
             num_partitions=max(spark.sparkContext.defaultParallelism, 8),
-        ).select("doc_id", "url", "doc_len", "quality")
-        store.write(doc_stats, "doc_stats")
-        # corpus stats from the in-memory doc_lens (not a parquet
-        # re-read); persisted in the manifest so later stages, resumes,
-        # and serve startup never pay an aggregation job for them
-        row = doc_lens.select(
-            F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
-        store.set_meta("n_docs", int(row["n"]))
+            stats_col="doc_len")
+        store.write(doc_stats.select("doc_id", "url", "doc_len", "quality"),
+                    "doc_stats")
+        store.set_meta("n_docs", int(stats["n"]))
         store.set_meta("avgdl",
-                       float(row["a"]) if row["a"] is not None else 0.0)
+                       stats["sum"] / stats["n"] if stats["n"] else 0.0)
         doc_lens.unpersist()
         store.commit("doc_stats", fp)
     _mark("doc_stats")
@@ -549,7 +557,38 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     else:
         final_blocks = _final_blocks(spark, tokens, doc_stats, n_docs,
                                      n_docs, avgdl, codec)
-        store.write(final_blocks, "postings", partition_by=["bucket"])
+        if dedup_payloads:
+            # A7: store-wide posting-payload dedup (ItemIndexFactory,
+            # reference/oscar-create/oscarcreate.cpp:74,100-115 — one
+            # ItemIndex stored per distinct item set).  Identical
+            # payloads are endemic in the Zipf tail: every hapax term
+            # of one doc encodes the same (delta, tf=1, dl) bytes.
+            # Payloads are stored ONCE per (bucket, md5); postings keep
+            # the 32-char ref.  Opt-in: serve's payload fetch gains a
+            # per-bucket hash join, which a latency-critical index may
+            # not want.  JVM-side F.md5 — no Python in the path.
+            import shutil
+            fb = final_blocks.withColumn("payload_hash", F.md5("payload"))
+            # materialize once: payloads + postings below would each
+            # re-run the whole encode otherwise
+            store.write_segment(fb, "_postings_staged", "base")
+            staged = store.read_segment(spark, "_postings_staged", "base")
+            payloads = (staged.select("bucket", "payload_hash", "payload")
+                        .dropDuplicates(["bucket", "payload_hash"]))
+            store.write(payloads, "payloads", partition_by=["bucket"])
+            store.write(staged.drop("payload"), "postings",
+                        partition_by=["bucket"])
+            n_all = staged.count()
+            n_uniq = store.read(spark, "payloads").count()
+            store.set_meta("payload_dedup", True)
+            store.set_meta("payload_dedup_stats",
+                           {"blocks": int(n_all),
+                            "unique_payloads": int(n_uniq)})
+            shutil.rmtree(store.path("_postings_staged"),
+                          ignore_errors=True)
+        else:
+            store.write(final_blocks, "postings", partition_by=["bucket"])
+            store.set_meta("payload_dedup", False)
         store.set_meta("codec", codec)
         store.commit("postings", pfp)
     _mark("postings")
@@ -595,10 +634,12 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                        stage_secs=stage_secs)
 
 
-def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
-                  codec: str, fp: str, cur_sigs: dict[str, str],
-                  new_files: list[str]) -> BuildResult:
-    """Merge NEW input files into a committed index as one segment.
+def ingest_segment(spark: SparkSession, new_pages: DataFrame,
+                   store: IndexStore, seg: str, codec: str, fp: str,
+                   extra_meta: dict | None = None,
+                   mark=lambda name: None) -> dict:
+    """Core incremental ingest: merge new page rows into a committed
+    index as one segment.
 
     Every heavy step touches only the new data; the single committed-
     data rewrite is the (tiny, block-level) terms table merge.  All
@@ -609,40 +650,18 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
     among themselves).  BM25 scores stay exact because serve derives
     them at query time from tf/dl payloads + the merged df / n_docs /
     avgdl — nothing score-bearing is baked into committed payloads.
+
+    Shared by the file-growth append path (_append_index) and the
+    Structured Streaming foreachBatch ingest (streaming/jobs.py).
     """
-    import zlib
-    t0 = time.time()
-    stage_secs: dict[str, float] = {}
-    _last = [t0]
-
-    def _mark(name: str) -> None:
-        now = time.time()
-        stage_secs[name] = round(now - _last[0], 2)
-        _last[0] = now
-
-    seg = "a%08x" % zlib.crc32(";".join(new_files).encode())
     n_old = int(store.get_meta("n_docs"))
     avgdl_old = float(store.get_meta("avgdl"))
 
-    # ---- tokenize ONLY the new files.  input_file_name() and
-    # DataFrame.inputFiles() render file URIs differently across sources
-    # (file:/p vs file:///p), so both sides are normalized to plain
-    # paths before comparing ----
-    from urllib.parse import unquote, urlparse
-
-    def _norm(f: str) -> str:
-        return unquote(urlparse(f).path) if f.startswith("file:") or \
-            "://" in f else f
-
-    new_pages = (
-        pages.withColumn(
-            "_f", F.regexp_replace(F.input_file_name(), "^[a-z]+:/+", "/"))
-        .filter(F.col("_f").isin([_norm(f) for f in new_files]))
-        .drop("_f"))
+    # ---- tokenize only the new pages ----
     store.write_segment(
         new_pages.select("url", "text").mapInPandas(
             _tokenize_batches, TOKENS_SCHEMA), "tokens", seg)
-    _mark("tokens_append")
+    mark("tokens_append")
     tokens_new = store.read_segment(spark, "tokens", seg)
 
     # ---- doc ids for the new docs, offset past the committed space ----
@@ -650,21 +669,21 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
                 .agg(F.first("dl").alias("doc_len"))
                 .withColumn("quality", F.col("doc_len").cast("double"))
                 .localCheckpoint(eager=True))
+    assigned, stats = assign_doc_ids_ranged(
+        doc_lens,
+        num_partitions=max(spark.sparkContext.defaultParallelism, 8),
+        stats_col="doc_len")
     doc_stats_new = (
-        assign_doc_ids_ranged(
-            doc_lens,
-            num_partitions=max(spark.sparkContext.defaultParallelism, 8))
+        assigned
         .withColumn("doc_id", (F.col("doc_id") + F.lit(n_old)).cast("long"))
         .select("doc_id", "url", "doc_len", "quality"))
     store.write_segment(doc_stats_new, "doc_stats", seg)
-    row = doc_lens.select(F.count("*").alias("n"),
-                          F.sum("doc_len").alias("s")).collect()[0]
-    n_new, dl_sum_new = int(row["n"]), int(row["s"] or 0)
+    n_new, dl_sum_new = int(stats["n"]), int(stats["sum"])
     n_total = n_old + n_new
     avgdl_total = ((avgdl_old * n_old + dl_sum_new) / n_total
                    if n_total else 0.0)
     doc_lens.unpersist()
-    _mark("doc_stats_append")
+    mark("doc_stats_append")
 
     # ---- postings for the new docs (same pipeline, new data only) ----
     final_new = _final_blocks(
@@ -681,7 +700,7 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
                     .cast("int"))
         .select(*_FINAL_COLS))
     store.write_segment(final_new, "postings", seg, partition_by=["bucket"])
-    _mark("postings_append")
+    mark("postings_append")
 
     # ---- merged terms: old + new df/n_blocks, written as a NEW segment
     # that atomically REPLACES the old one at commit (no self-overwrite,
@@ -695,18 +714,55 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
               .agg(F.sum("df").cast("long").alias("df"),
                    F.sum("n_blocks").cast("long").alias("n_blocks")))
     store.write_segment(merged, "terms", seg, partition_by=["bucket"])
-    _mark("terms_append")
+    mark("terms_append")
 
     # ---- ONE atomic snapshot commit ----
     pfp = f"{fp}|codec={codec}"
     store.commit_append(
         add={"tokens": [seg], "doc_stats": [seg], "postings": [seg]},
         replace={"terms": [seg]},
-        meta={"n_docs": n_total, "avgdl": avgdl_total,
-              "input_files": cur_sigs, "codec": codec},
+        meta={"n_docs": n_total, "avgdl": avgdl_total, "codec": codec,
+              **(extra_meta or {})},
         stage_fingerprints={"tokens": fp, "doc_stats": fp,
                             "postings": pfp, "terms": fp},
     )
+    return {"n_new": n_new, "n_total": n_total, "avgdl": avgdl_total}
+
+
+def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
+                  codec: str, fp: str, cur_sigs: dict[str, str],
+                  new_files: list[str]) -> BuildResult:
+    """File-growth append: filter the input to its NEW files and run the
+    segment ingest over just those rows."""
+    import zlib
+    t0 = time.time()
+    stage_secs: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        stage_secs[name] = round(now - _last[0], 2)
+        _last[0] = now
+
+    seg = "a%08x" % zlib.crc32(";".join(new_files).encode())
+
+    # input_file_name() and DataFrame.inputFiles() render file URIs
+    # differently across sources (file:/p vs file:///p), so both sides
+    # are normalized to plain paths before comparing
+    from urllib.parse import unquote, urlparse
+
+    def _norm(f: str) -> str:
+        return unquote(urlparse(f).path) if f.startswith("file:") or \
+            "://" in f else f
+
+    new_pages = (
+        pages.withColumn(
+            "_f", F.regexp_replace(F.input_file_name(), "^[a-z]+:/+", "/"))
+        .filter(F.col("_f").isin([_norm(f) for f in new_files]))
+        .drop("_f"))
+    stats = ingest_segment(spark, new_pages, store, seg, codec, fp,
+                           extra_meta={"input_files": cur_sigs},
+                           mark=_mark)
 
     terms = store.read(spark, "terms")
     bucket_stats = terms.groupBy("bucket").agg(
@@ -716,12 +772,12 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
     n_terms = sum(r["terms_out"] for r in bucket_stats)
     n_blocks = sum(r["blocks_out"] for r in bucket_stats)
     elapsed = time.time() - t0
-    dps = n_new / elapsed if elapsed > 0 else 0.0  # appended-docs rate
+    dps = stats["n_new"] / elapsed if elapsed > 0 else 0.0  # new-docs rate
     _write_lineage(store, bucket_stats, fp, dps)
     _mark("lineage_and_counts")
 
-    return BuildResult(n_docs=n_total, avgdl=avgdl_total, n_terms=n_terms,
-                       n_blocks=int(n_blocks), docs_per_sec=dps,
-                       elapsed_sec=elapsed,
+    return BuildResult(n_docs=stats["n_total"], avgdl=stats["avgdl"],
+                       n_terms=n_terms, n_blocks=int(n_blocks),
+                       docs_per_sec=dps, elapsed_sec=elapsed,
                        resumed_stages=[f"append:{seg}"],
                        stage_secs=stage_secs)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -37,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
+    s.add_argument("--offset", type=int, default=0,
+                   help="skip the first N results (seek/pagination)")
     s.add_argument("--mode", default="auto",
                    choices=["auto", "brute", "pruned"])
 
@@ -47,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("-k", type=int, default=10)
     be.add_argument("--out", default=None,
                     help="write per-query CSV here (like <out>.raw)")
+    be.add_argument("--cold", action="store_true",
+                    help="drop engine/Spark caches (and, with "
+                         "OSCAR_DROP_OS_CACHE=1, best-effort OS page "
+                         "cache) before each query — the reference's "
+                         "per-query cache purge, oscar-cmd/"
+                         "Benchmark.cpp:117-123")
 
     args = ap.parse_args(argv)
 
@@ -69,18 +78,38 @@ def main(argv: list[str] | None = None) -> int:
     eng = SearchEngine(spark, args.index)
 
     if args.cmd == "search":
-        for doc_id, score in eng.search(args.query, k=args.k,
-                                        mode=args.mode):
+        for doc_id, score in eng.search_page(args.query, k=args.k,
+                                             offset=args.offset,
+                                             mode=args.mode):
             print(f"{doc_id}\t{score:.6f}")
         return 0
 
-    # bench: warm mode — each query run twice, second counts
-    # (reference/oscar-cmd/Benchmark.cpp:158)
+    # bench: each query run twice.  Default (warm) mode: the second run
+    # counts (reference/oscar-cmd/Benchmark.cpp:158).  --cold: caches
+    # are purged before the pair, so the FIRST run is a true cold
+    # number — what a 100 TB cluster's first touch of a term actually
+    # pays — and both columns are reported.
+    def _purge_caches() -> None:
+        nonlocal eng
+        spark.catalog.clearCache()
+        # fresh engine: driver-side term-dict preload and cached plans
+        # count as cold-path work, like the reference re-reading its
+        # mmap'd trie after the page-cache purge
+        eng = SearchEngine(spark, args.index)
+        if os.environ.get("OSCAR_DROP_OS_CACHE") == "1":
+            try:  # root-only; best-effort like the reference's sysctl
+                with open("/proc/sys/vm/drop_caches", "w") as f:
+                    f.write("1\n")
+            except OSError:
+                pass
+
     rows = []
     for line in open(args.queries):
         q = line.rstrip("\n")
         if not q:
             continue
+        if args.cold:
+            _purge_caches()
         t0 = time.time()
         r = eng.search(q, k=args.k)
         cold = time.time() - t0
@@ -89,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         warm = time.time() - t0
         rows.append((q, cold, warm, len(r)))
     times = sorted(x[2] for x in rows)
+    colds = sorted(x[1] for x in rows)
     if args.out:
         import csv
         with open(args.out, "w", newline="") as f:
@@ -97,6 +127,9 @@ def main(argv: list[str] | None = None) -> int:
             w.writerows(rows)
     print(json.dumps({
         "queries": len(rows),
+        "mode": "cold" if args.cold else "warm",
+        "cold_min": round(colds[0], 4), "cold_max": round(colds[-1], 4),
+        "cold_median": round(colds[len(colds) // 2], 4),
         "warm_min": round(times[0], 4), "warm_max": round(times[-1], 4),
         "warm_mean": round(sum(times) / len(times), 4),
         "warm_median": round(times[len(times) // 2], 4)}))

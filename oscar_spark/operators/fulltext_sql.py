@@ -94,18 +94,20 @@ def _scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
     # the cache the corpus is re-tokenized per branch
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    n = docs.count()
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # scalar subqueries via crossJoin of 1-row aggregates (declarative,
-    # broadcast by AQE)
-    stats = dl.agg((F.sum("dl") / F.lit(float(n))).alias("avgdl"))
+    # N and avgdl as a 1-row broadcast aggregate (declarative scalar
+    # subqueries) — an earlier shape ran docs.count() driver-side, one
+    # extra blocking job per catalog query
+    stats = (dl.agg(F.sum("dl").cast("double").alias("_tdl"))
+             .crossJoin(docs.agg(F.count("*").cast("double").alias("n")))
+             .select("n", (F.col("_tdl") / F.col("n")).alias("avgdl")))
     scored = (
         tf.filter(F.col("term").isin(query_terms))
         .join(dl, "doc_id")
         .join(F.broadcast(dfs.filter(F.col("term").isin(query_terms))), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("score", F.expr(bm25_sql(
-            "tf", "dl", "df", str(float(n)), "avgdl")))
+            "tf", "dl", "df", "n", "avgdl")))
     )
     return scored
 
@@ -216,12 +218,24 @@ def facet_stats_sql(term: str) -> str:
         " GROUP BY key, value ORDER BY cnt DESC, key, value")
 
 
-def facet_entropy(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
+def facet_entropy(spark: SparkSession, sf_dir: str, term: str,
+                  exclude_keys: tuple[str, ...] = (),
+                  exclude_values: tuple[str, ...] = ()) -> DataFrame:
     """Shannon entropy per facet key over a query's result set — the
     shannonKvstats analog (Worker::shannonKvstats,
     reference/oscar-cmd/Workfunctions.cpp:171-233: entropy-scored
-    key split suggestion).  Pure groupBy composition, no UDAF."""
+    key split suggestion, including its key / key:value exclusion
+    sets).  exclude_keys drops whole facet keys; exclude_values drops
+    individual "key=value" pairs BEFORE probabilities are normalized —
+    matching the reference, which filters its KeyExclusions /
+    KeyValueExclusions while accumulating the stats, not afterwards.
+    Pure groupBy composition, no UDAF."""
     kv = facet_stats(spark, sf_dir, term)
+    if exclude_keys:
+        kv = kv.filter(~F.col("key").isin(list(exclude_keys)))
+    if exclude_values:
+        kv = kv.filter(~F.concat_ws("=", "key", "value")
+                       .isin(list(exclude_values)))
     totals = kv.groupBy("key").agg(F.sum("cnt").alias("tot"))
     return (kv.join(totals, "key")
             .withColumn("p", F.col("cnt") / F.col("tot"))
@@ -232,11 +246,22 @@ def facet_entropy(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
             .orderBy(F.desc("entropy"), F.asc("key")))
 
 
-def facet_entropy_sql(term: str) -> str:
+def facet_entropy_sql(term: str,
+                      exclude_keys: tuple[str, ...] = (),
+                      exclude_values: tuple[str, ...] = ()) -> str:
     inner = facet_stats_sql(term).replace(
         " ORDER BY cnt DESC, key, value", "")
+    conds = []
+    if exclude_keys:
+        ks = ", ".join(f"'{k}'" for k in exclude_keys)
+        conds.append(f"key NOT IN ({ks})")
+    if exclude_values:
+        vs = ", ".join(f"'{v}'" for v in exclude_values)
+        conds.append(f"(key || '=' || value) NOT IN ({vs})")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
     return (
-        f"WITH fc AS ({inner}), tot AS (SELECT key, SUM(cnt) AS tot"
+        f"WITH fc AS (SELECT * FROM ({inner}){where}),"
+        " tot AS (SELECT key, SUM(cnt) AS tot"
         " FROM fc GROUP BY key) SELECT fc.key AS key,"
         " ROUND(-SUM((cnt/tot) * ln(cnt/tot)), 6) AS entropy,"
         " CAST(COUNT(*) AS BIGINT) AS n_values"

@@ -61,31 +61,51 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
         f"ORDER BY cosine DESC, vec_id ASC LIMIT {k}")
 
 
-def _lsh_bucket(vec, n_planes: int, dim: int):
+def _lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0):
     """Deterministic signed-random-projection bucket id (0..2^n_planes).
 
     Hyperplane p has ±1 weights from a fixed pattern: sign_j = +1 iff
     ((j * 2654435761 + p * 40503) mod 97) < 48 — a pinned pseudo-random
     rule computable in both Spark and DuckDB SQL (no RNG state).
+    plane_offset selects an independent plane set per LSH band.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
+        pg = plane_offset + p
         # array-literal signs + fold keeps the generated code tiny (an
         # unrolled 64-term sum overflows Janino's 64 KB codegen limit and
         # silently drops the plan to interpreted mode)
         signs = F.array(*[
-            F.lit(1.0 if ((j * 2654435761 + p * 40503) % 97) < 48 else -1.0)
+            F.lit(1.0 if ((j * 2654435761 + pg * 40503) % 97) < 48 else -1.0)
             for j in range(dim)])
         proj = _dot(vec, signs)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 
+def auto_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Plane count so the EXPECTED bucket population ≈ target_bucket:
+    2^planes ≈ n/target.  At 10^12 vectors this yields ~34 planes —
+    bucket fan-in stays bounded as the table grows, which is the whole
+    point of bucketed near-dup at scale (within-bucket join cost is
+    Σ|bucket|², so bounded buckets ⇒ linear total work)."""
+    import math
+    return max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
-                 k: int = 10, n_planes: int = 4, dim: int = 64) -> DataFrame:
-    """ANN: search only the query's LSH bucket, then exact cosine in it."""
-    emb = load_embeddings(spark, sf_dir) \
-        .withColumn("bucket", _lsh_bucket(F.col("embedding"), n_planes, dim))
+                 k: int = 10, n_planes: int | None = 4,
+                 dim: int = 64) -> DataFrame:
+    """ANN: search only the query's LSH bucket, then exact cosine in it.
+
+    n_planes=None sizes the bucket grid from the table (auto_planes) so
+    the candidate set stays ~constant as the table grows; explicit
+    values pin the rule for oracle comparison."""
+    emb = load_embeddings(spark, sf_dir)
+    if n_planes is None:
+        n_planes = auto_planes(emb.count())
+    emb = emb.withColumn(
+        "bucket", _lsh_bucket(F.col("embedding"), n_planes, dim))
     qrow = emb.filter(F.col("vec_id") == query_vec_id) \
         .select("embedding", "bucket").collect()[0]
     qb = qrow["bucket"]
@@ -99,11 +119,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
 
 
-def _lsh_bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+def _lsh_bucket_sql(vec: str, n_planes: int, dim: int,
+                    plane_offset: int = 0) -> str:
     parts = []
     for p in range(n_planes):
+        pg = plane_offset + p
         signs = ", ".join(
-            f"{1 if ((j * 2654435761 + p * 40503) % 97) < 48 else -1}.0"
+            f"{1 if ((j * 2654435761 + pg * 40503) % 97) < 48 else -1}.0"
             for j in range(dim))
         proj = (f"list_sum(list_transform(list_zip({vec}, [{signs}]), "
                 "x -> x[1] * x[2]))")
@@ -146,43 +168,73 @@ LABEL_CENTROIDS_SQL = (
 
 
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str,
-                          threshold: float = 0.9, n_planes: int = 4,
+                          threshold: float = 0.9,
+                          n_planes: int | None = 4, n_bands: int = 2,
                           dim: int = 64) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed scale path.
+    """Embedding-cosine near-duplicate pairs, banded-LSH scale path.
 
-    Candidate pairs come from equality on the signed-random-projection
-    bucket (a self-equi-join Spark shuffles by bucket — no O(n²) cross
-    join), then the exact cosine filter keeps pairs ≥ threshold.  Same
-    pinned bucket rule as ann_lsh_topk, so recall semantics are part of
-    the operator contract and the DuckDB oracle replicates them exactly.
+    n_bands independent signed-random-projection plane sets (band b uses
+    planes b*n_planes..): candidate pairs agree on (band, bucket) for
+    ANY band (OR-amplification — per-band recall (1-miss^bands) instead
+    of one set's), then the exact cosine filter keeps pairs ≥ threshold.
+    n_planes=None derives the plane count from the table size
+    (auto_planes), so within-bucket populations — and hence the
+    self-join's per-key fan-in — stay bounded as the table grows; pass
+    an explicit value when an external oracle must agree on the rule.
+
+    Shape at 10^12 vectors: candidate generation runs on the SLIM
+    (vec_id, band, bucket) rows (no embedding payload through the
+    self-join shuffle); embeddings re-attach to the deduped candidate
+    pairs by two vec_id equi-joins.
     """
-    emb = load_embeddings(spark, sf_dir) \
-        .withColumn("bucket", _lsh_bucket(F.col("embedding"), n_planes, dim))
-    a = emb.select(F.col("vec_id").alias("a_id"),
-                   F.col("embedding").alias("a_emb"), "bucket")
-    b = emb.select(F.col("vec_id").alias("b_id"),
-                   F.col("embedding").alias("b_emb"), "bucket")
+    emb = load_embeddings(spark, sf_dir)
+    if n_planes is None:
+        n_planes = auto_planes(emb.count())
+    slim = emb.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 _lsh_bucket(F.col("embedding"), n_planes, dim,
+                             b * n_planes).alias("bucket"))
+        for b in range(n_bands)])).alias("bb")) \
+        .select("vec_id", "bb.band", "bb.bucket")
+    cand = (slim.alias("a").join(slim.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("a_id"),
+                    F.col("b.vec_id").alias("b_id"))
+            .distinct())
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("b_emb"))
     cos = _dot(F.col("a_emb"), F.col("b_emb")) / \
         (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
-    return (a.join(b, "bucket")
-            .filter(F.col("a_id") < F.col("b_id"))
+    return (cand.join(ea, "a_id").join(eb, "b_id")
             .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .orderBy("a_id", "b_id"))
 
 
 def cosine_near_dup_pairs_sql(threshold: float = 0.9, n_planes: int = 4,
-                              dim: int = 64) -> str:
-    bkt = _lsh_bucket_sql("embedding", n_planes, dim)
-    cos = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+                              n_bands: int = 2, dim: int = 64) -> str:
+    buckets = ", ".join(
+        f"{_lsh_bucket_sql('embedding', n_planes, dim, b * n_planes)}"
+        f" AS bkt{b}" for b in range(n_bands))
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, bkt{b} AS bucket FROM be"
+        for b in range(n_bands))
+    cos = ("list_sum(list_transform(list_zip(ea.embedding, eb.embedding), "
            "x -> x[1] * x[2])) / "
-           "(sqrt(list_sum(list_transform(a.embedding, x -> x * x))) * "
-           "sqrt(list_sum(list_transform(b.embedding, x -> x * x))))")
+           "(sqrt(list_sum(list_transform(ea.embedding, x -> x * x))) * "
+           "sqrt(list_sum(list_transform(eb.embedding, x -> x * x))))")
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding"
         " FROM embeddings), "
-        f"be AS (SELECT vec_id, embedding, {bkt} AS bucket FROM e) "
-        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({cos}, 6) AS"
-        " cosine FROM be a JOIN be b ON a.bucket = b.bucket AND"
-        f" a.vec_id < b.vec_id WHERE ROUND({cos}, 6) >= {threshold}"
+        f"be AS (SELECT vec_id, embedding, {buckets} FROM e), "
+        f"bb AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id"
+        " FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket"
+        " AND a.vec_id < b.vec_id) "
+        f"SELECT a_id, b_id, ROUND({cos}, 6) AS cosine"
+        " FROM cand JOIN e ea ON ea.vec_id = a_id"
+        " JOIN e eb ON eb.vec_id = b_id"
+        f" WHERE ROUND({cos}, 6) >= {threshold}"
         " ORDER BY a_id, b_id")

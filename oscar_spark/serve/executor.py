@@ -93,6 +93,12 @@ class SearchEngine:
         # codec recorded by the build (varint default, pfor variant)
         self._decode = BLOCK_DECODERS[
             self.store.get_meta("codec", "varint")]
+        # A7 payload-dedup stores keep payloads in a side table keyed by
+        # (bucket, md5); only the payload-FETCH path joins it — metadata
+        # pruning stays join-free
+        self._payloads = (self.store.read(spark, "payloads")
+                          if self.store.get_meta("payload_dedup", False)
+                          else None)
         self._term_df: dict[str, int] | None = None
         self._term_sorted: list[str] | None = None
         self._brute_cache: DataFrame | None = None
@@ -194,7 +200,15 @@ class SearchEngine:
         df = (self.postings
               .filter(F.col("bucket").isin(buckets))
               .filter(F.col("term").isin(terms)))
-        return df.select(*_META_COLS) if meta_only else df
+        if meta_only:
+            return df.select(*_META_COLS)
+        if self._payloads is not None:
+            # re-attach deduped payloads; bucket filter prunes the
+            # payload side's partitions before the hash join
+            df = df.join(
+                self._payloads.filter(F.col("bucket").isin(buckets)),
+                ["bucket", "payload_hash"])
+        return df
 
     # ---- shared scoring kernel ----
     def _score_ranges(self, blocks: DataFrame, dfmap: dict[str, int],
@@ -431,6 +445,63 @@ class SearchEngine:
                mode: str = "auto") -> list[tuple[int, float]]:
         rows = self.search_df(query, k, mode).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def search_page(self, query: str, k: int = 10, offset: int = 0,
+                    mode: str = "auto") -> list[tuple[int, float]]:
+        """Results [offset, offset+k) of the ranked list — the
+        OsmItemSetIterator::seek analog (reference/oscar-cmd/
+        LiveCompleter.cpp:154-167): paging past k is expressed as a
+        deeper top-(offset+k) cut, which keeps the block-max pruning
+        bound valid (θ is then the (offset+k)-th score)."""
+        if offset < 0:
+            raise ValueError("offset must be ≥ 0")
+        return self.search(query, k=offset + k, mode=mode)[offset:]
+
+    def cursor(self, query: str, page: int = 10,
+               mode: str = "auto") -> "ResultCursor":
+        """Lazy forward cursor over the ranked result list."""
+        return ResultCursor(self, query, page=page, mode=mode)
+
+
+class ResultCursor:
+    """Lazy seek over a query's ranked results (LiveCompleter.cpp:154-167:
+    users page past the first k without the engine materializing the
+    full list up front).  Each page re-enters the top-k machinery with a
+    deeper cut; already-fetched prefixes are served from the cursor's
+    buffer, and exhaustion is detected when a deeper cut returns no new
+    rows."""
+
+    def __init__(self, engine: SearchEngine, query: str, page: int = 10,
+                 mode: str = "auto"):
+        self.engine = engine
+        self.query = query
+        self.page = page
+        self.mode = mode
+        self._buf: list[tuple[int, float]] = []
+        self._pos = 0
+        self._exhausted = False
+
+    def _ensure(self, upto: int) -> None:
+        while len(self._buf) < upto and not self._exhausted:
+            want = max(upto, len(self._buf) + self.page)
+            rows = self.engine.search(self.query, k=want, mode=self.mode)
+            if len(rows) <= len(self._buf):
+                self._exhausted = True
+            self._buf = rows
+
+    def seek(self, position: int) -> None:
+        """Jump so the next take() starts at `position` (0-based)."""
+        if position < 0:
+            raise ValueError("position must be ≥ 0")
+        self._pos = position
+
+    def take(self, n: int | None = None) -> list[tuple[int, float]]:
+        """Return the next n (default: one page) results; [] at end."""
+        n = self.page if n is None else n
+        self._ensure(self._pos + n)
+        out = self._buf[self._pos:self._pos + n]
+        self._pos += len(out)
+        return out
 
 
 def _bucket_of(term: str) -> int:

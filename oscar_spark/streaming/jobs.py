@@ -58,3 +58,41 @@ def streaming_token_counts(pages: DataFrame) -> DataFrame:
     from oscar_spark.build.indexer import TOKENS_SCHEMA, _tokenize_batches
     return pages.select("url", "text").mapInPandas(
         _tokenize_batches, TOKENS_SCHEMA)
+
+
+def stream_index_ingest(spark: SparkSession, pages_dir: str,
+                        index_dir: str, checkpoint_dir: str,
+                        codec: str | None = None) -> None:
+    """Continuously index a growing pages directory: each micro-batch of
+    new files becomes one committed index segment.
+
+    readStream(pages_dir) → foreachBatch: the first batch does a full
+    build, every later batch runs indexer.ingest_segment (doc ids
+    appended after the committed space, postings as a new segment,
+    terms merged, ONE atomic manifest commit).  The streaming
+    checkpoint tracks which files were consumed, so a crashed driver
+    resumes without re-ingesting — Structured Streaming's exactly-once
+    file tracking composes with the store's snapshot isolation (a
+    replayed batch rewrites the same seg=e<epoch> directory and
+    re-commits idempotently).  trigger(availableNow) drains what exists
+    and stops; drop it for a long-running daemon."""
+    from oscar_spark.build.indexer import build_index, ingest_segment
+    from oscar_spark.config import POSTINGS_CODEC
+    from oscar_spark.sources.tables import IndexStore
+
+    schema = spark.read.parquet(pages_dir).schema
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        store = IndexStore(index_dir)
+        if store.get_meta("n_docs") is None:
+            build_index(spark, batch_df, index_dir, codec=codec)
+        else:
+            ingest_segment(spark, batch_df, store, f"e{epoch_id}",
+                           codec or POSTINGS_CODEC, fp=f"stream-e{epoch_id}")
+
+    q = (spark.readStream.schema(schema).parquet(pages_dir)
+         .writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

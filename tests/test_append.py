@@ -103,6 +103,46 @@ def test_append_df_equals_fresh_build(spark, appended, tmp_path):
     assert df_a == df_f
 
 
+def test_streaming_index_ingest(spark, tmp_path):
+    """Structured-Streaming incremental ingest: each micro-batch of new
+    page files becomes one committed segment; the streaming checkpoint
+    prevents re-ingesting consumed files across restarts; the result is
+    rank-identical to an oracle over the full corpus."""
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.oracle.engine import OracleIndex
+    from oscar_spark.serve.executor import SearchEngine
+    from oscar_spark.sources.tables import IndexStore
+    from oscar_spark.streaming.jobs import stream_index_ingest
+
+    pdf = generate_pages(300)
+    pdir = tmp_path / "spages"
+    pdir.mkdir()
+    d, cp = str(tmp_path / "sidx"), str(tmp_path / "ckpt")
+    _write_pages_file(pdf.iloc[:200], str(pdir / "f0.parquet"))
+    stream_index_ingest(spark, str(pdir), d, cp)
+    assert IndexStore(d).get_meta("n_docs") == 200
+
+    _write_pages_file(pdf.iloc[200:], str(pdir / "f1.parquet"))
+    stream_index_ingest(spark, str(pdir), d, cp)
+    store = IndexStore(d)
+    assert store.get_meta("n_docs") == 300
+    # a third drain with nothing new must be a no-op
+    stream_index_ingest(spark, str(pdir), d, cp)
+    assert store.get_meta("n_docs") == 300
+
+    ds = {r["url"]: r["doc_id"] for r in
+          store.read(spark, "doc_stats").collect()}
+    oracle = OracleIndex([(int(ds[u]), t)
+                          for u, t in zip(pdf["url"], pdf["text"])])
+    eng = SearchEngine(spark, d)
+    for q in ["the", "city + state", "wd0001"]:
+        expected = oracle.search(q, k=10)
+        got = eng.search(q, k=10)
+        assert [i for i, _ in got] == [i for i, _ in expected], q
+        for (_, gs), (_, es) in zip(got, expected):
+            assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
+
+
 def test_append_block_invariants(spark, appended):
     """Strict doc-id monotonicity inside every block (old and new
     segments) and per-term dense block numbering across segments."""

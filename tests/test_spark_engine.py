@@ -241,6 +241,56 @@ def test_suffix_substring_rank_identity(engine, oracle, q):
         assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
 
 
+def test_pagination_and_cursor(engine):
+    """seek/pagination (OsmItemSetIterator::seek analog,
+    LiveCompleter.cpp:154-167): pages are exact slices of the full
+    ranking; the cursor detects exhaustion on rare terms."""
+    full = engine.search("the", k=30)
+    assert len(full) == 30
+    assert engine.search_page("the", k=10, offset=10) == full[10:20]
+    cur = engine.cursor("the", page=7)
+    got = cur.take() + cur.take() + cur.take()
+    assert got == full[:21]
+    cur.seek(25)
+    assert cur.take(5) == full[25:30]
+    # rare term: cursor must terminate with [] past the last hit
+    rare_full = engine.search("wd0042", k=1000)
+    cur2 = engine.cursor("wd0042", page=max(len(rare_full) // 2, 1))
+    got2 = []
+    for _ in range(len(rare_full) + 3):
+        pg = cur2.take()
+        if not pg:
+            break
+        got2.extend(pg)
+    assert got2 == rare_full
+
+
+def test_payload_dedup_end_to_end(spark, pages_df, oracle, tmp_path):
+    """A7 (ItemIndexFactory analog, oscar-create/oscarcreate.cpp:74,
+    100-115): duplicate posting payloads — endemic for the Zipf tail's
+    hapax terms, which share (delta, tf=1, dl) bytes per doc — are
+    stored once; serve re-attaches them by hash and stays
+    rank-identical on both fetch paths."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.sources.tables import IndexStore
+    d = str(tmp_path / "dedup_idx")
+    build_index(spark, pages_df, d, dedup_payloads=True)
+    store = IndexStore(d)
+    assert store.get_meta("payload_dedup") is True
+    stats = store.get_meta("payload_dedup_stats")
+    assert stats["unique_payloads"] < stats["blocks"]
+    # the payloads table holds exactly the distinct payloads
+    assert store.read(spark, "payloads").count() == stats["unique_payloads"]
+    eng = SearchEngine(spark, d)
+    for q in ["the", "city + state", "war history world", "wd0042"]:
+        expected = oracle.search(q, k=10)
+        for mode in ("brute", "pruned"):
+            got = eng.search(q, k=10, mode=mode)
+            assert [x for x, _ in got] == [x for x, _ in expected], (q, mode)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
+
+
 def test_pfor_codec_end_to_end(spark, pages_df, oracle, tmp_path):
     """Build with the PForDelta codec flag: manifest records it, serve
     dispatches on it, results stay rank-identical to the oracle."""
