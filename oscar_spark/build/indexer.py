@@ -61,7 +61,6 @@ from oscar_spark.config import (BLOCK_SIZE, BROADCAST_DOCID_MAX,
 from oscar_spark.functions.bm25 import bm25_sql
 from oscar_spark.functions.codec import encode_runs
 from oscar_spark.functions.extract import extract_series
-from oscar_spark.functions.tokenize import tokenize_series
 from oscar_spark.sources.tables import IndexStore
 
 TOKENS_SCHEMA = "url string, term string, tf int, dl int"
@@ -88,22 +87,19 @@ FINAL_BLOCKS_SCHEMA = (
 def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(url, text) batches → (url, term, tf, dl) with per-doc tf combine.
 
-    Fully vectorized: one flatten + one groupby per Arrow batch (a
-    per-doc value_counts loop measured ~25× slower at 20k docs).
+    Arrow-native end to end: tokenize_flat keeps every token occurrence
+    in Arrow C++ memory (dictionary codes), the per-(doc, term) tf
+    groupby is a stable sort on a fused int64 key, and both output
+    string columns leave as pandas Categoricals — Arrow serializes
+    those as dictionary arrays, so at no point do the ~200 tokens/doc
+    exist as Python objects.  (The previous shape flattened to a Python
+    list + object-dtype factorize; it made tokenize the build's most
+    allocation/bandwidth-hungry stage and capped its N→4N scaling.)
     """
-    from itertools import chain
+    from oscar_spark.functions.tokenize import tokenize_flat
     for pdf in batches:
-        toks = tokenize_series(pdf["text"])
-        n_docs = len(pdf)
-        counts = toks.map(len).to_numpy(dtype=np.int64)
-        flat_terms = list(chain.from_iterable(toks))
-        # per-(doc, term) tf via factorize + stable sort on a fused
-        # int64 key — measured 3× faster than the pandas hash groupby
-        # this replaces (the groupby alone was 4× the tokenize cost)
-        codes, uniq = pd.factorize(
-            np.asarray(flat_terms, dtype=object), sort=False)
+        codes, uniq, doc_idx, counts = tokenize_flat(pdf["text"])
         n_uniq = max(len(uniq), 1)
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
         key = doc_idx * n_uniq + codes
         order = np.argsort(key, kind="stable")
         sk = key[order]
@@ -113,24 +109,21 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         tf_cnt = np.diff(np.append(starts, len(sk))).astype("int32")
         gi = sk[starts] // n_uniq
         gc = sk[starts] % n_uniq
-        uniq_np = np.asarray(uniq, dtype=object)
-        out = pd.DataFrame({
-            "url": pdf["url"].to_numpy()[gi],
-            "term": uniq_np[gc],
+        # keep empty docs visible (term NULL = categorical code -1) so
+        # doc_stats/N/avgdl count them — matching the oracle's semantics
+        empty_idx = np.flatnonzero(counts == 0)
+        if len(empty_idx):
+            gi = np.concatenate([gi, empty_idx])
+            gc = np.concatenate([gc, np.full(len(empty_idx), -1,
+                                             dtype=gc.dtype)])
+            tf_cnt = np.concatenate([tf_cnt, np.zeros(len(empty_idx),
+                                                      dtype="int32")])
+        yield pd.DataFrame({
+            "url": pd.Categorical.from_codes(gi, categories=pdf["url"]),
+            "term": pd.Categorical.from_codes(gc, categories=uniq),
             "tf": tf_cnt,
             "dl": counts[gi].astype("int32"),
         })
-        # keep empty docs visible (term NULL) so doc_stats/N/avgdl count
-        # them — matching the oracle's semantics
-        empty_idx = np.flatnonzero(counts == 0)
-        if len(empty_idx):
-            out = pd.concat([out, pd.DataFrame({
-                "url": pdf["url"].to_numpy()[empty_idx],
-                "term": pd.array([None] * len(empty_idx), dtype=object),
-                "tf": np.zeros(len(empty_idx), dtype="int32"),
-                "dl": np.zeros(len(empty_idx), dtype="int32"),
-            })], ignore_index=True)
-        yield out
 
 
 def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,

@@ -51,8 +51,7 @@ def tokenize(text: str) -> list[str]:
 _TOKEN_RE = f"[a-z0-9]{{{MIN_TOKEN_LEN},}}"
 
 
-def tokenize_series(texts: pd.Series) -> pd.Series:
-    """Vectorized: Series[str] → Series[list[str]] (same rule as tokenize)."""
+def _normalize_series(texts: pd.Series) -> pd.Series:
     norm = texts.fillna("").str.lower()
     # NFKD + combining-strip is the identity on pure-ASCII text (the vast
     # majority of lowered web text) — normalize only the non-ASCII rows
@@ -63,4 +62,47 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
                  .str.replace(_COMBINING, "", regex=True))
         norm = norm.copy()
         norm[non_ascii] = fixed
-    return norm.str.findall(_TOKEN_RE)
+    return norm
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized: Series[str] → Series[list[str]] (same rule as tokenize)."""
+    return _normalize_series(texts).str.findall(_TOKEN_RE)
+
+
+def tokenize_flat(texts: pd.Series):
+    """Arrow-native flat tokenization for the index build's hot path.
+
+    → (codes:int64, uniq:pd.Index[str], doc_idx:int64, dls:int64) where
+    codes are dictionary codes into uniq for every kept token, doc_idx
+    maps each token to its row in `texts`, and dls is tokens-per-doc.
+
+    Same rule as tokenize()/tokenize_series() (hypothesis-tested
+    equivalent: split on non-[a-z0-9] runs == findall of alnum runs,
+    then drop tokens shorter than MIN_TOKEN_LEN), but the token strings
+    never exist as Python objects: lowering happens in pandas (with the
+    non-ASCII NFKD fallback), then split_pattern_regex,
+    list_flatten, utf8_length-filter and dictionary_encode all run in
+    Arrow C++ memory.  Only the ~unique terms of the batch surface into
+    Python — tokenize_series materialized every token occurrence
+    (~200×/doc), which made the tokenize stage allocation/bandwidth
+    bound.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    norm = _normalize_series(texts)
+    arr = pa.Array.from_pandas(norm, type=pa.string())
+    splits = pc.split_pattern_regex(arr, "[^a-z0-9]+")
+    flat = pc.list_flatten(splits)
+    lens = np.diff(splits.offsets.to_numpy(zero_copy_only=False))
+    doc_idx_all = np.repeat(np.arange(len(norm), dtype=np.int64), lens)
+    ok = pc.greater_equal(pc.utf8_length(flat),
+                          MIN_TOKEN_LEN).to_numpy(zero_copy_only=False)
+    ok = np.asarray(ok, dtype=bool)
+    enc = pc.dictionary_encode(flat.filter(pa.array(ok)))
+    doc_idx = doc_idx_all[ok]
+    dls = np.bincount(doc_idx, minlength=len(norm)).astype(np.int64)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = pd.Index(enc.dictionary.to_pandas(), dtype=object)
+    return codes, uniq, doc_idx, dls
