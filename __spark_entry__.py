@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oscar_spark.operators import (dedup, multimodal, relational,
+from oscar_spark.operators import (dedup, multimodal, pipeline, relational,
                                    similarity, textstats)
 from oscar_spark.operators import fulltext_sql as fts
 
@@ -58,6 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             s, d, threshold=0.8),
         "dedup_simhash": dedup.simhash,
+        "dedup_components": dedup.dedup_components,
+        # full curation pipeline: lang filter + quality filter +
+        # near-dup canonicalization in one declarative plan
+        "pipeline_clean_corpus": lambda s, d: pipeline.clean_corpus(
+            s, d, min_quality=0.55),
         # --- similarity search ---
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk(s, d, 0, 10),
         "sim_ann_lsh": lambda s, d: similarity.ann_lsh_topk(s, d, 0, 10),
@@ -116,6 +121,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(0.8),
         "dedup_simhash": dedup.simhash_sql(),
+        "dedup_components": dedup.dedup_components_sql(),
+        "pipeline_clean_corpus": pipeline.clean_corpus_sql(0.55),
         "sim_cosine_topk": similarity.cosine_topk_sql(0, 10),
         "sim_ann_lsh": similarity.ann_lsh_topk_sql(0, 10),
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,

@@ -186,6 +186,71 @@ def minhash_lsh_sql() -> str:
             "WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b")
 
 
+def dedup_components(spark: SparkSession, sf_dir: str,
+                     max_iter: int = 20) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph:
+    (doc_id, comp) where comp = min doc_id reachable through near-dup
+    pairs — the canonical-representative assignment a dedup pipeline
+    keeps one copy per component of.
+
+    Execution is iterative min-label propagation (each round: one join
+    edges⋈labels + per-node min, i.e. the simple form of the
+    large-star/small-star map-reduce CC algorithm), which converges in
+    O(component diameter) rounds — near-dup components are shallow
+    (docs similar to a common template), so a handful of shuffles, each
+    over |E| rows, at any corpus size.  Labels are checkpointed per
+    round: iterative lineage otherwise re-executes the whole prefix
+    every round.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("comp", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("doc_id", "src"),
+                            "src")
+                 .groupBy(F.col("dst").alias("doc_id"))
+                 .agg(F.min("comp").alias("ncomp")))
+        new_labels = (labels.join(neigh, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("comp"),
+                                      F.coalesce(F.col("ncomp"),
+                                                 F.col("comp")))
+                              .alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n").join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+def dedup_components_sql() -> str:
+    """DuckDB oracle: transitive closure by recursive label walk, then
+    per-node min — semantically identical to the propagation fixpoint."""
+    return (
+        SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) +
+        f", bands AS ({_bands_cte()}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b USING (band, key) "
+        "WHERE a.doc_id < b.doc_id), "
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM cand "
+        "UNION SELECT doc_b, doc_a FROM cand), "
+        "walk(doc_id, lbl) AS ("
+        "SELECT DISTINCT s, s FROM edges "
+        "UNION "
+        "SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.doc_id) "
+        "SELECT doc_id, MIN(lbl) AS comp FROM walk GROUP BY doc_id "
+        "ORDER BY doc_id")
+
+
 def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over token md5 prefixes (bits ≤ 16 for SQL parity).
 
