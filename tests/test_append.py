@@ -103,6 +103,23 @@ def test_append_df_equals_fresh_build(spark, appended, tmp_path):
     assert df_a == df_f
 
 
+def test_segment_snapshot_isolation(spark, tmp_path):
+    """A written-but-uncommitted segment is invisible to read() — the
+    crash-safety contract of the append path — and becomes visible
+    atomically at commit_append."""
+    from pyspark.sql import functions as F
+    from oscar_spark.sources.tables import IndexStore
+    store = IndexStore(str(tmp_path / "st"))
+    store.write(spark.range(5).select(F.col("id").alias("x")), "t")
+    assert store.read(spark, "t").count() == 5
+    store.write_segment(spark.range(3).select(F.col("id").alias("x")),
+                        "t", "extra")
+    assert store.read(spark, "t").count() == 5  # not committed yet
+    assert store.read_segment(spark, "t", "extra").count() == 3
+    store.commit_append(add={"t": ["extra"]})
+    assert store.read(spark, "t").count() == 8
+
+
 def test_streaming_index_ingest(spark, tmp_path):
     """Structured-Streaming incremental ingest: each micro-batch of new
     page files becomes one committed segment; the streaming checkpoint

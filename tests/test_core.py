@@ -116,6 +116,22 @@ def test_tokenize_rules():
     assert tokenize("foo-bar baz_qux") == ["foo", "bar", "baz", "qux"]
 
 
+@given(st.lists(st.text(max_size=200), min_size=0, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_tokenize_flat_parity(texts):
+    """Arrow-native flat path == tokenize() per doc, token for token."""
+    from oscar_spark.functions.tokenize import tokenize_flat
+    s = pd.Series(texts, dtype=object)
+    codes, uniq, doc_idx, dls = tokenize_flat(s)
+    recon = [[] for _ in range(len(texts))]
+    u = uniq.to_numpy() if len(uniq) else []
+    for c, d in zip(codes.tolist(), doc_idx.tolist()):
+        recon[d].append(u[c])
+    expected = [tokenize(t) for t in texts]
+    assert recon == expected
+    assert dls.tolist() == [len(e) for e in expected]
+
+
 # ---------- extractor (FIXTURES.md invariant 4) ----------
 
 def test_extract_basic():
