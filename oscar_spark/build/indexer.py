@@ -329,6 +329,24 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
     )
 
 
+def _write_terms_rev(store: IndexStore, terms: DataFrame,
+                     seg: str | None = None) -> None:
+    """Suffix mirror of the term dictionary: (rev=reverse(term), term,
+    df), range-partitioned and sorted by rev — a suffix wildcard
+    `*tok` becomes a PREFIX scan on rev with parquet row-group pruning,
+    the build-time analog of oscar's optional suffix enumeration
+    (reference/oscar-create/CellTextCompleter.h:602-637) at
+    O(n_terms) extra storage instead of O(total suffix count)."""
+    rev = (terms.select(F.reverse("term").alias("rev"), "term", "df")
+           .repartitionByRange(max(terms.sparkSession.sparkContext
+                                   .defaultParallelism, 8), "rev")
+           .sortWithinPartitions("rev"))
+    if seg is None:
+        store.write(rev, "terms_rev")
+    else:
+        store.write_segment(rev, "terms_rev", seg)
+
+
 def _write_lineage(store: IndexStore, bucket_stats, fp: str,
                    dps: float) -> None:
     """Per-bucket lineage rows (BASELINE.json per-partition lineage).
@@ -597,7 +615,13 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             .agg(F.sum("doc_count").cast("long").alias("df"),
                  F.count("*").cast("long").alias("n_blocks"))
         )
-        store.write(terms, "terms", partition_by=["bucket"])
+        # term-sorted within each bucket: parquet row-group min/max on
+        # `term` then prunes dictionary range scans (prefix expansion)
+        # even though buckets are hash-partitioned
+        store.write(terms.repartition("bucket")
+                    .sortWithinPartitions("bucket", "term"),
+                    "terms", partition_by=["bucket"])
+        _write_terms_rev(store, store.read(spark, "terms"))
         store.commit("terms", fp)
     _mark("terms")
     terms = store.read(spark, "terms")
@@ -706,14 +730,17 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
               .groupBy("bucket", "term")
               .agg(F.sum("df").cast("long").alias("df"),
                    F.sum("n_blocks").cast("long").alias("n_blocks")))
-    store.write_segment(merged, "terms", seg, partition_by=["bucket"])
+    store.write_segment(merged.repartition("bucket")
+                        .sortWithinPartitions("bucket", "term"),
+                        "terms", seg, partition_by=["bucket"])
+    _write_terms_rev(store, store.read_segment(spark, "terms", seg), seg)
     mark("terms_append")
 
     # ---- ONE atomic snapshot commit ----
     pfp = f"{fp}|codec={codec}"
     store.commit_append(
         add={"tokens": [seg], "doc_stats": [seg], "postings": [seg]},
-        replace={"terms": [seg]},
+        replace={"terms": [seg], "terms_rev": [seg]},
         meta={"n_docs": n_total, "avgdl": avgdl_total, "codec": codec,
               **(extra_meta or {})},
         stage_fingerprints={"tokens": fp, "doc_stats": fp,

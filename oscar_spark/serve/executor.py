@@ -99,6 +99,13 @@ class SearchEngine:
         self._payloads = (self.store.read(spark, "payloads")
                           if self.store.get_meta("payload_dedup", False)
                           else None)
+        # suffix mirror (rev-sorted term dictionary) — present on
+        # indexes built since it was introduced; older stores fall back
+        # to the full-dictionary scan
+        import os as _os
+        self._terms_rev = (self.store.read(spark, "terms_rev")
+                           if _os.path.isdir(self.store.path("terms_rev"))
+                           else None)
         self._term_df: dict[str, int] | None = None
         self._term_sorted: list[str] | None = None
         self._brute_cache: DataFrame | None = None
@@ -148,10 +155,14 @@ class SearchEngine:
     def expand_wild(self, kind: str, stem: str) -> list[str]:
         """Suffix/substring expansion (QT_SUFFIX / QT_SUBSTRING):
         endswith/contains scan of the term dictionary, sorted, capped —
-        the serve-time stand-in for oscar's build-time suffix
-        enumeration (reference/oscar-create/CellTextCompleter.h:602-637);
-        at 10^12-doc scale a suffix-mirror terms table would restore
-        pruned lookups."""
+        sorted + capped.  Suffix queries use the build's rev-sorted
+        terms_rev mirror when present (the analog of oscar's build-time
+        suffix enumeration, reference/oscar-create/
+        CellTextCompleter.h:602-637): `*tok` is a PREFIX scan on
+        reverse(term), so parquet row-group min/max stats on the
+        range-partitioned `rev` column prune the dictionary read at any
+        scale.  Substring remains a capped full-dictionary scan (an
+        n-gram index would be the next step)."""
         from oscar_spark.config import MAX_PREFIX_EXPAND
         if self._term_sorted is not None:
             if kind == "suffix":
@@ -159,6 +170,12 @@ class SearchEngine:
             else:
                 hit = (t for t in self._term_sorted if stem in t)
             return sorted(hit)[:MAX_PREFIX_EXPAND]
+        if kind == "suffix" and self._terms_rev is not None:
+            rows = (self._terms_rev
+                    .filter(F.col("rev").startswith(stem[::-1]))
+                    .select("term").orderBy("term")
+                    .limit(MAX_PREFIX_EXPAND).collect())
+            return [r["term"] for r in rows]
         cond = (F.col("term").endswith(stem) if kind == "suffix"
                 else F.col("term").contains(stem))
         rows = (self.terms.filter(cond).select("term").orderBy("term")

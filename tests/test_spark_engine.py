@@ -241,6 +241,29 @@ def test_suffix_substring_rank_identity(engine, oracle, q):
         assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND)
 
 
+def test_wildcard_fallback_paths(spark, built_index, engine):
+    """Above TERMS_PRELOAD_MAX the dictionary is not preloaded: prefix
+    expansion becomes a sorted-terms range scan and suffix expansion a
+    rev-prefix scan on the terms_rev mirror — both must agree with the
+    driver-side preloaded expansion exactly."""
+    d, _ = built_index
+    orig = SearchEngine.TERMS_PRELOAD_MAX
+    SearchEngine.TERMS_PRELOAD_MAX = 0
+    try:
+        eng2 = SearchEngine(spark, d)
+        assert eng2._term_sorted is None
+        assert eng2._terms_rev is not None
+        assert eng2.expand_prefix("ci") == engine.expand_prefix("ci")
+        assert eng2.expand_wild("suffix", "ty") == \
+            engine.expand_wild("suffix", "ty")
+        assert eng2.expand_wild("substr", "or") == \
+            engine.expand_wild("substr", "or")
+        for q in ["ci*", "*ty", "*or*", "wd00* + the"]:
+            assert eng2.search(q, k=10) == engine.search(q, k=10), q
+    finally:
+        SearchEngine.TERMS_PRELOAD_MAX = orig
+
+
 def test_pagination_and_cursor(engine):
     """seek/pagination (OsmItemSetIterator::seek analog,
     LiveCompleter.cpp:154-167): pages are exact slices of the full
