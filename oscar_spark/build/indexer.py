@@ -331,20 +331,39 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
 
 def _write_terms_rev(store: IndexStore, terms: DataFrame,
                      seg: str | None = None) -> None:
-    """Suffix mirror of the term dictionary: (rev=reverse(term), term,
-    df), range-partitioned and sorted by rev — a suffix wildcard
-    `*tok` becomes a PREFIX scan on rev with parquet row-group pruning,
-    the build-time analog of oscar's optional suffix enumeration
-    (reference/oscar-create/CellTextCompleter.h:602-637) at
-    O(n_terms) extra storage instead of O(total suffix count)."""
+    """Wildcard mirrors of the term dictionary.
+
+    terms_rev: (rev=reverse(term), term, df), range-partitioned and
+    sorted by rev — a suffix wildcard `*tok` becomes a PREFIX scan on
+    rev with parquet row-group pruning, the build-time analog of
+    oscar's optional suffix enumeration (reference/oscar-create/
+    CellTextCompleter.h:602-637) at O(n_terms) extra storage instead
+    of O(total suffix count).
+
+    terms_ngram: one row per (3-gram of term, term) — `*tok*` becomes
+    intersect-the-gram-lists + contains-verify over candidates instead
+    of a full dictionary scan; O(Σ len(term)) rows, range-partitioned
+    by gram so the per-query read touches only matching row groups."""
+    par = max(terms.sparkSession.sparkContext.defaultParallelism, 8)
     rev = (terms.select(F.reverse("term").alias("rev"), "term", "df")
-           .repartitionByRange(max(terms.sparkSession.sparkContext
-                                   .defaultParallelism, 8), "rev")
+           .repartitionByRange(par, "rev")
            .sortWithinPartitions("rev"))
+    grams = (terms.select("term")
+             # terms shorter than the gram can't contain any 3-char stem
+             # (and sequence(1, 0) would count DOWN, emitting junk rows)
+             .filter(F.length("term") >= 3)
+             .withColumn("gram", F.explode(F.array_distinct(F.expr(
+                 "transform(sequence(1, length(term) - 2),"
+                 " i -> substring(term, i, 3))"))))
+             .select("gram", "term")
+             .repartitionByRange(par, "gram")
+             .sortWithinPartitions("gram", "term"))
     if seg is None:
         store.write(rev, "terms_rev")
+        store.write(grams, "terms_ngram")
     else:
         store.write_segment(rev, "terms_rev", seg)
+        store.write_segment(grams, "terms_ngram", seg)
 
 
 def _write_lineage(store: IndexStore, bucket_stats, fp: str,
@@ -740,7 +759,8 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     pfp = f"{fp}|codec={codec}"
     store.commit_append(
         add={"tokens": [seg], "doc_stats": [seg], "postings": [seg]},
-        replace={"terms": [seg], "terms_rev": [seg]},
+        replace={"terms": [seg], "terms_rev": [seg],
+                 "terms_ngram": [seg]},
         meta={"n_docs": n_total, "avgdl": avgdl_total, "codec": codec,
               **(extra_meta or {})},
         stage_fingerprints={"tokens": fp, "doc_stats": fp,

@@ -106,6 +106,9 @@ class SearchEngine:
         self._terms_rev = (self.store.read(spark, "terms_rev")
                            if _os.path.isdir(self.store.path("terms_rev"))
                            else None)
+        self._terms_ngram = (
+            self.store.read(spark, "terms_ngram")
+            if _os.path.isdir(self.store.path("terms_ngram")) else None)
         self._term_df: dict[str, int] | None = None
         self._term_sorted: list[str] | None = None
         self._brute_cache: DataFrame | None = None
@@ -173,6 +176,21 @@ class SearchEngine:
         if kind == "suffix" and self._terms_rev is not None:
             rows = (self._terms_rev
                     .filter(F.col("rev").startswith(stem[::-1]))
+                    .select("term").orderBy("term")
+                    .limit(MAX_PREFIX_EXPAND).collect())
+            return [r["term"] for r in rows]
+        if kind == "substr" and self._terms_ngram is not None \
+                and len(stem) >= 3:
+            # intersect the stem's 3-gram posting lists over the
+            # dictionary, then verify contains on the candidates — the
+            # read touches only the matching grams' row groups
+            grams = sorted({stem[i:i + 3] for i in range(len(stem) - 2)})
+            cand = (self._terms_ngram
+                    .filter(F.col("gram").isin(grams))
+                    .groupBy("term")
+                    .agg(F.count_distinct("gram").alias("ng"))
+                    .filter(F.col("ng") == len(grams)))
+            rows = (cand.filter(F.col("term").contains(stem))
                     .select("term").orderBy("term")
                     .limit(MAX_PREFIX_EXPAND).collect())
             return [r["term"] for r in rows]

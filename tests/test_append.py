@@ -103,6 +103,37 @@ def test_append_df_equals_fresh_build(spark, appended, tmp_path):
     assert df_a == df_f
 
 
+def test_double_append(spark, tmp_path):
+    """Two successive file-growth appends: detection keys off the
+    UPDATED input manifest each time; df after 150+75+75 equals a
+    from-scratch 300-doc build."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.sources.tables import IndexStore
+
+    pdf = generate_pages(300)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    d = str(tmp_path / "idx")
+    _write_pages_file(pdf.iloc[:150], str(pdir / "f0.parquet"))
+    r1 = build_index(spark, spark.read.parquet(str(pdir)), d)
+    assert r1.n_docs == 150
+    _write_pages_file(pdf.iloc[150:225], str(pdir / "f1.parquet"))
+    r2 = build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+    assert r2.resumed_stages[0].startswith("append:") and r2.n_docs == 225
+    _write_pages_file(pdf.iloc[225:], str(pdir / "f2.parquet"))
+    r3 = build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+    assert r3.resumed_stages[0].startswith("append:") and r3.n_docs == 300
+
+    d_fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.read.parquet(str(pdir)), d_fresh)
+    df_a = {r["term"]: int(r["df"]) for r in
+            IndexStore(d).read(spark, "terms").collect()}
+    df_f = {r["term"]: int(r["df"]) for r in
+            IndexStore(d_fresh).read(spark, "terms").collect()}
+    assert df_a == df_f
+
+
 def test_segment_snapshot_isolation(spark, tmp_path):
     """A written-but-uncommitted segment is invisible to read() — the
     crash-safety contract of the append path — and becomes visible

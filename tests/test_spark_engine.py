@@ -258,7 +258,11 @@ def test_wildcard_fallback_paths(spark, built_index, engine):
             engine.expand_wild("suffix", "ty")
         assert eng2.expand_wild("substr", "or") == \
             engine.expand_wild("substr", "or")
-        for q in ["ci*", "*ty", "*or*", "wd00* + the"]:
+        # ≥3-char substring takes the trigram-index path
+        assert eng2._terms_ngram is not None
+        assert eng2.expand_wild("substr", "tor") == \
+            engine.expand_wild("substr", "tor")
+        for q in ["ci*", "*ty", "*or*", "*tor*", "wd00* + the"]:
             assert eng2.search(q, k=10) == engine.search(q, k=10), q
     finally:
         SearchEngine.TERMS_PRELOAD_MAX = orig
