@@ -488,6 +488,12 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         stage_secs[name] = round(now - _last[0], 2)
         _last[0] = now
 
+    # input_hint shape is (url, warc_ts, html, text, lang); a table
+    # carrying only the raw html gets the pinned extractor applied here
+    # (byte-identity with pre-extracted text is a test invariant)
+    if "text" not in pages.columns:
+        pages = extract_pages(pages)
+
     store = IndexStore(index_dir)
     fp = input_fingerprint(pages)
     _mark("fingerprint")

@@ -292,6 +292,17 @@ def test_pagination_and_cursor(engine):
     assert got2 == rare_full
 
 
+def test_build_from_html_only(spark, pages_df, built_index, tmp_path):
+    """A pages table carrying only raw html builds the identical index:
+    build_index applies the pinned extractor itself (input_hint shape)."""
+    from oscar_spark.build.indexer import build_index
+    d = str(tmp_path / "htmlidx")
+    res = build_index(spark, pages_df.drop("text"), d)
+    _, ref = built_index
+    assert (res.n_docs, res.n_terms, res.n_blocks) == \
+        (ref.n_docs, ref.n_terms, ref.n_blocks)
+
+
 def test_payload_dedup_end_to_end(spark, pages_df, oracle, tmp_path):
     """A7 (ItemIndexFactory analog, oscar-create/oscarcreate.cpp:74,
     100-115): duplicate posting payloads — endemic for the Zipf tail's
