@@ -706,9 +706,16 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     mark("tokens_append")
     tokens_new = store.read_segment(spark, "tokens", seg)
 
-    # ---- doc ids for the new docs, offset past the committed space ----
+    # ---- doc ids for the new docs, offset past the committed space.
+    # url is the document key: a re-crawled url that is ALREADY indexed
+    # is dropped (left_anti against committed doc_stats — a column-
+    # pruned scan of n_old single urls), matching the full build's
+    # one-doc-per-url groupBy semantics; its orphaned token rows never
+    # meet a doc_id and fall out of the postings join ----
     doc_lens = (tokens_new.groupBy("url")
                 .agg(F.first("dl").alias("doc_len"))
+                .join(store.read(spark, "doc_stats").select("url"),
+                      "url", "left_anti")
                 .withColumn("quality", F.col("doc_len").cast("double"))
                 .localCheckpoint(eager=True))
     assigned, stats = assign_doc_ids_ranged(

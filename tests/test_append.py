@@ -103,6 +103,30 @@ def test_append_df_equals_fresh_build(spark, appended, tmp_path):
     assert df_a == df_f
 
 
+def test_append_recrawled_urls_not_duplicated(spark, tmp_path):
+    """An appended file re-containing already-indexed urls must not
+    create second docs for them: url is the document key (the full
+    build's one-doc-per-url groupBy semantics)."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.sources.tables import IndexStore
+
+    pdf = generate_pages(200)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    d = str(tmp_path / "idx")
+    _write_pages_file(pdf.iloc[:150], str(pdir / "f0.parquet"))
+    build_index(spark, spark.read.parquet(str(pdir)), d)
+    # new file: 50 genuinely new docs + 30 re-crawls of indexed urls
+    _write_pages_file(pdf.iloc[120:], str(pdir / "f1.parquet"))
+    r2 = build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+    assert r2.resumed_stages[0].startswith("append:")
+    assert r2.n_docs == 200
+    ds = IndexStore(d).read(spark, "doc_stats")
+    assert ds.count() == 200
+    assert ds.select("url").distinct().count() == 200
+
+
 def test_double_append(spark, tmp_path):
     """Two successive file-growth appends: detection keys off the
     UPDATED input manifest each time; df after 150+75+75 equals a
