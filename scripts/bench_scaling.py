@@ -366,6 +366,11 @@ spark-submit --master local[16] --py-files oscar_spark.zip oscar_spark/cli.py \\
 
 The bench subcommand writes the per-query CSV (cold/warm seconds, rows)
 shaped like the reference's `<out>.raw` (oscar-cmd/Benchmark.cpp:227-241).
+
+## Measurement conditions
+
+See BENCH/CONDITIONS.md for the per-round A/B table, host-bandwidth
+ceiling log, and the quiet-window measurement protocol.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
