@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk(s, d, 0, 10),
         "sim_ann_lsh": lambda s, d: similarity.ann_lsh_topk(s, d, 0, 10),
         "sim_label_centroids": similarity.label_centroids,
+        # IVF scale path: deterministic sampled-centroid coarse
+        # quantizer + nprobe search
+        "sim_ivf_assign": lambda s, d: similarity.ivf_assign(s, d),
+        "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
+            s, d, 0, 10, nprobe=4),
         # banded LSH (2 bands × 32 buckets); n_planes pinned so the
         # DuckDB oracle agrees — production path auto-scales via
         # similarity.auto_planes
@@ -126,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": similarity.cosine_topk_sql(0, 10),
         "sim_ann_lsh": similarity.ann_lsh_topk_sql(0, 10),
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "sim_ivf_assign": similarity.ivf_assign_sql(),
+        "sim_ivf_topk": similarity.ivf_topk_sql(0, 10, 4),
         "dedup_embed_cosine": similarity.cosine_near_dup_pairs_sql(
             0.35, n_planes=5, n_bands=2),
         "mm_features": multimodal.MEDIA_FEATURES_SQL,

@@ -151,6 +151,118 @@ def ann_lsh_topk_sql(query_vec_id: int = 0, k: int = 10,
         f"ORDER BY cosine DESC, vec_id ASC LIMIT {k}")
 
 
+IVF_STRIDE = 32  # every 32nd vector is a coarse centroid (deterministic)
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str,
+               stride: int = IVF_STRIDE) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    by cosine, centroids = the deterministic sample {vec_id % stride ==
+    0} (no iterative k-means — pinned, so an external oracle can
+    replicate the exact partition).  → (vec_id, cid, ROUND(cos,6)).
+
+    Scale shape: assignment is a crossJoin against the BROADCAST
+    centroid table (n·k distance rows, k = n/stride coarse cells) with
+    a per-vector argmin — embarrassingly parallel, no shuffle of the
+    vector table.  Production IVF grows k ~ √n and trains centroids;
+    the partition/probe machinery here is the same.
+    """
+    emb = load_embeddings(spark, sf_dir)
+    cent = (emb.filter(F.col("vec_id") % stride == 0)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    cos = _dot(F.col("embedding"), F.col("cv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("cv")))
+    scored = emb.crossJoin(F.broadcast(cent)) \
+        .select("vec_id", "cid", F.round(cos, 6).alias("cos"))
+    # argmin by (cos desc, cid asc): deterministic ties
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc")))
+        .alias("b"))
+    return (best.select("vec_id", (-F.col("b.nc")).alias("cid"),
+                        F.col("b.cos").alias("cos"))
+            .orderBy("vec_id"))
+
+
+def ivf_assign_sql(stride: int = IVF_STRIDE) -> str:
+    cos = ("list_sum(list_transform(list_zip(e.embedding, c.cv), "
+           "x -> x[1] * x[2])) / "
+           "(sqrt(list_sum(list_transform(e.embedding, x -> x * x))) * "
+           "sqrt(list_sum(list_transform(c.cv, x -> x * x))))")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS"
+        " embedding FROM embeddings), "
+        f"c AS (SELECT vec_id AS cid, embedding AS cv FROM e"
+        f" WHERE vec_id % {stride} = 0), "
+        f"scored AS (SELECT e.vec_id, c.cid, ROUND({cos}, 6) AS cos"
+        " FROM e CROSS JOIN c), "
+        "r AS (SELECT vec_id, cid, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn"
+        " FROM scored) "
+        "SELECT vec_id, cid, cos FROM r WHERE rn = 1 ORDER BY vec_id")
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+             k: int = 10, nprobe: int = 4,
+             stride: int = IVF_STRIDE) -> DataFrame:
+    """IVF search: probe the query's nprobe nearest coarse cells, exact
+    cosine top-k among the vectors assigned to them.  The candidate set
+    is (nprobe/k_cells) of the table — the standard IVF recall/cost
+    dial; at 10^12 vectors the probed cells' vectors are fetched by a
+    partition-pruned read when the assignment is written partitioned
+    by cid."""
+    emb = load_embeddings(spark, sf_dir)
+    assign = ivf_assign(spark, sf_dir, stride).select("vec_id", "cid")
+    qrow = emb.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").collect()[0]
+    q = spark.createDataFrame([(qrow["embedding"],)], "qv array<double>")
+    cent = (emb.filter(F.col("vec_id") % stride == 0)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    qcos = _dot(F.col("cv"), F.col("qv")) / \
+        (_norm(F.col("cv")) * _norm(F.col("qv")))
+    probes = [r["cid"] for r in
+              cent.crossJoin(F.broadcast(q))
+              .select("cid", F.round(qcos, 6).alias("c"))
+              .orderBy(F.desc("c"), F.asc("cid"))
+              .limit(nprobe).collect()]
+    cand = (emb.join(assign.filter(F.col("cid").isin(probes)), "vec_id")
+            .filter(F.col("vec_id") != query_vec_id))
+    cos = _dot(F.col("embedding"), F.col("qv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("qv")))
+    return (cand.crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+
+
+def ivf_topk_sql(query_vec_id: int = 0, k: int = 10, nprobe: int = 4,
+                 stride: int = IVF_STRIDE) -> str:
+    assign = ivf_assign_sql(stride).replace(" ORDER BY vec_id", "")
+    cosq = ("list_sum(list_transform(list_zip(c.cv, q.qv), "
+            "x -> x[1] * x[2])) / "
+            "(sqrt(list_sum(list_transform(c.cv, x -> x * x))) * "
+            "sqrt(list_sum(list_transform(q.qv, x -> x * x))))")
+    cos = ("list_sum(list_transform(list_zip(e.embedding, q.qv), "
+           "x -> x[1] * x[2])) / "
+           "(sqrt(list_sum(list_transform(e.embedding, x -> x * x))) * "
+           "sqrt(list_sum(list_transform(q.qv, x -> x * x))))")
+    return (
+        f"WITH assign AS (SELECT vec_id, cid FROM ({assign}) t), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding"
+        " FROM embeddings), "
+        f"q AS (SELECT embedding AS qv FROM e WHERE vec_id ="
+        f" {query_vec_id}), "
+        f"c AS (SELECT vec_id AS cid, embedding AS cv FROM e"
+        f" WHERE vec_id % {stride} = 0), "
+        f"probes AS (SELECT cid FROM c, q ORDER BY ROUND({cosq}, 6)"
+        f" DESC, cid ASC LIMIT {nprobe}) "
+        f"SELECT e.vec_id AS vec_id, ROUND({cos}, 6) AS cosine"
+        " FROM e JOIN assign ON assign.vec_id = e.vec_id"
+        " AND assign.cid IN (SELECT cid FROM probes), q"
+        f" WHERE e.vec_id != {query_vec_id}"
+        f" ORDER BY cosine DESC, vec_id ASC LIMIT {k}")
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean embedding norm + count per label (vector agg sanity query)."""
     emb = load_embeddings(spark, sf_dir)
