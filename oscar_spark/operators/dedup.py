@@ -1,7 +1,8 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash — all over the
-driver's `documents` table.  Every hash used for cross-engine-checkable
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+connected components over the near-dup graph — all over the driver's
+`documents` table.  Every hash used for cross-engine-checkable
 entries is md5 (identical in Spark `F.md5` and DuckDB `md5`), so each
 operator has an exact SQL oracle; SimHash needs bit arithmetic on hash
 prefixes, expressed with conv/hex in both engines.

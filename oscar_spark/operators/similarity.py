@@ -4,7 +4,11 @@
   (F.zip_with dot product + F.aggregate fold — JVM-side, no UDF).
 - LSH-bucketed ANN: deterministic signed-random-projection buckets as
   the scale path — at 10^12 vectors the candidate set is one bucket
-  (+ optional neighbor probes) instead of the full table.
+  (+ optional neighbor probes) instead of the full table; banded
+  (OR-amplified) variant for near-dup pair mining with auto-sized
+  plane counts.
+- IVF: sampled-centroid coarse quantizer + nprobe search — the
+  inverted-file scale path (candidates = probed cells only).
 
 Scale: brute force is a broadcast of ONE query vector over a scan —
 embarrassingly parallel, no shuffle; top-k is TakeOrdered.  LSH adds a
