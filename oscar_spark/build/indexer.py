@@ -170,6 +170,8 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
     each batch is held back and prepended to the next; a group is at most
     RANGE_SIZE postings, so the carry buffer is bounded.
     """
+    from oscar_spark.functions.tokenize import _pin_arrow_threads
+    _pin_arrow_threads()
     pending: pd.DataFrame | None = None
     buf: list[pd.DataFrame] = []
     buf_rows = 0
@@ -243,6 +245,8 @@ def _finalize_partition(batches: Iterator[pd.DataFrame], n_docs: float,
                         avgdl: float) -> Iterator[pd.DataFrame]:
     """Phase-2 kernel over bucket partitions sorted by (term, first_doc):
     trailing term group carried over across Arrow batch boundaries."""
+    from oscar_spark.functions.tokenize import _pin_arrow_threads
+    _pin_arrow_threads()
     pending: pd.DataFrame | None = None
     for pdf in batches:
         if pending is not None and len(pending):
@@ -358,12 +362,30 @@ def _write_terms_rev(store: IndexStore, terms: DataFrame,
              .select("gram", "term")
              .repartitionByRange(par, "gram")
              .sortWithinPartitions("gram", "term"))
-    if seg is None:
-        store.write(rev, "terms_rev")
-        store.write(grams, "terms_ngram")
-    else:
-        store.write_segment(rev, "terms_rev", seg)
-        store.write_segment(grams, "terms_ngram", seg)
+    # both mirrors derive from the already-committed terms parquet and
+    # are independent: submit their write jobs CONCURRENTLY (Spark
+    # schedules parallel jobs fine) — sequentially they cost two full
+    # job latencies on a stage that is otherwise seconds
+    import threading
+    errs: list[BaseException] = []
+
+    def _w(df: DataFrame, name: str) -> None:
+        try:
+            if seg is None:
+                store.write(df, name)
+            else:
+                store.write_segment(df, name, seg)
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    ts = [threading.Thread(target=_w, args=(rev, "terms_rev")),
+          threading.Thread(target=_w, args=(grams, "terms_ngram"))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
 
 
 def _write_lineage(store: IndexStore, bucket_stats, fp: str,
@@ -489,8 +511,12 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         _last[0] = now
 
     # input_hint shape is (url, warc_ts, html, text, lang); a table
-    # carrying only the raw html gets the pinned extractor applied here
-    # (byte-identity with pre-extracted text is a test invariant)
+    # carrying only the raw html gets the pinned extractor applied
+    # (byte-identity with pre-extracted text is a test invariant).
+    # raw_pages is kept for the append path: its per-file filter uses
+    # input_file_name(), which does not survive a mapInPandas — the
+    # extractor is applied AFTER file filtering there.
+    raw_pages = pages
     if "text" not in pages.columns:
         pages = extract_pages(pages)
 
@@ -507,7 +533,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     # O(new data), not a rebuild ----
     if resume:
         recorded = store.get_meta("input_files")
-        cur = input_files_sig(pages)
+        cur = input_files_sig(raw_pages)
         if (recorded and cur and len(cur) > len(recorded)
                 and not store.committed("postings", f"{fp}|codec={codec}")
                 and store.get_meta("codec", codec) == codec
@@ -518,7 +544,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 and set(recorded).issubset(cur)
                 and all(cur[f] == recorded[f] for f in recorded)):
             return _append_index(
-                spark, pages, store, codec, fp, cur,
+                spark, raw_pages, store, codec, fp, cur,
                 sorted(set(cur) - set(recorded)))
 
     # ---- stage 0: tokens checkpoint ----
@@ -813,6 +839,10 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
             "_f", F.regexp_replace(F.input_file_name(), "^[a-z]+:/+", "/"))
         .filter(F.col("_f").isin([_norm(f) for f in new_files]))
         .drop("_f"))
+    # html-only input: extract AFTER the per-file filter (the filter's
+    # input_file_name() is only defined directly over the file scan)
+    if "text" not in new_pages.columns:
+        new_pages = extract_pages(new_pages)
     stats = ingest_segment(spark, new_pages, store, seg, codec, fp,
                            extra_meta={"input_files": cur_sigs},
                            mark=_mark)

@@ -30,12 +30,18 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STAGES = ("doc_stats", "postings", "terms")
+
+# serializes manifest read-modify-write across in-process threads (the
+# build submits independent table writes concurrently); cross-process
+# writers are excluded by the single-writer build contract
+_MANIFEST_LOCK = threading.Lock()
 
 
 class IndexStore:
@@ -55,20 +61,29 @@ class IndexStore:
         snap = self.manifest()["snapshots"].get(stage)
         return bool(snap) and snap["fingerprint"] == fingerprint
 
+    def _mutate(self, fn):
+        """Locked read-modify-write of the manifest, atomically
+        replaced on disk."""
+        with _MANIFEST_LOCK:
+            m = self.manifest()
+            out = fn(m)
+            tmp = self.manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self.manifest_path)  # atomic commit
+            return out
+
     def commit(self, stage: str, fingerprint: str) -> int:
-        m = self.manifest()
-        sid = m["next_snapshot_id"]
-        m["snapshots"][stage] = {
-            "fingerprint": fingerprint,
-            "snapshot_id": sid,
-            "ts": time.time(),
-        }
-        m["next_snapshot_id"] = sid + 1
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self.manifest_path)  # atomic commit
-        return sid
+        def fn(m):
+            sid = m["next_snapshot_id"]
+            m["snapshots"][stage] = {
+                "fingerprint": fingerprint,
+                "snapshot_id": sid,
+                "ts": time.time(),
+            }
+            m["next_snapshot_id"] = sid + 1
+            return sid
+        return self._mutate(fn)
 
     def snapshot_id(self, stage: str) -> int | None:
         snap = self.manifest()["snapshots"].get(stage)
@@ -76,12 +91,8 @@ class IndexStore:
 
     # --- store-level metadata (e.g. posting codec) ---
     def set_meta(self, key: str, value) -> None:
-        m = self.manifest()
-        m.setdefault("meta", {})[key] = value
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self.manifest_path)
+        self._mutate(lambda m: m.setdefault("meta", {})
+                     .__setitem__(key, value))
 
     def get_meta(self, key: str, default=None):
         return self.manifest().get("meta", {}).get(key, default)
@@ -103,12 +114,8 @@ class IndexStore:
         return m.get("segments", {}).get(table, ["base"])
 
     def _set_segments(self, table: str, segs: list[str]) -> None:
-        m = self.manifest()
-        m.setdefault("segments", {})[table] = segs
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self.manifest_path)
+        self._mutate(lambda m: m.setdefault("segments", {})
+                     .__setitem__(table, segs))
 
     def write(self, df: DataFrame, table: str,
               partition_by: list[str] | None = None) -> None:
@@ -149,26 +156,24 @@ class IndexStore:
         fingerprint bumps.  All segment DIRECTORIES must already be
         fully written; a crash before this call leaves the old snapshot
         intact, a crash after it the new one — never a mix."""
-        m = self.manifest()
-        for t, segs in (add or {}).items():
-            cur = m.setdefault("segments", {}).setdefault(t, ["base"])
-            for s in segs:
-                if s not in cur:
-                    cur.append(s)
-        for t, segs in (replace or {}).items():
-            m.setdefault("segments", {})[t] = segs
-        for k, v in (meta or {}).items():
-            m.setdefault("meta", {})[k] = v
-        sid = m["next_snapshot_id"]
-        for stage, fpv in (stage_fingerprints or {}).items():
-            m["snapshots"][stage] = {"fingerprint": fpv,
-                                     "snapshot_id": sid, "ts": time.time()}
-            sid += 1
-        m["next_snapshot_id"] = sid
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self.manifest_path)
+        def fn(m):
+            for t, segs in (add or {}).items():
+                cur = m.setdefault("segments", {}).setdefault(t, ["base"])
+                for s in segs:
+                    if s not in cur:
+                        cur.append(s)
+            for t, segs in (replace or {}).items():
+                m.setdefault("segments", {})[t] = segs
+            for k, v in (meta or {}).items():
+                m.setdefault("meta", {})[k] = v
+            sid = m["next_snapshot_id"]
+            for stage, fpv in (stage_fingerprints or {}).items():
+                m["snapshots"][stage] = {"fingerprint": fpv,
+                                         "snapshot_id": sid,
+                                         "ts": time.time()}
+                sid += 1
+            m["next_snapshot_id"] = sid
+        self._mutate(fn)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         df = spark.read.option("basePath", self.path(table)) \

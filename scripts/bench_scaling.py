@@ -282,6 +282,12 @@ def main() -> None:
             results = list(med_pair)
             results[0]["pair_efficiencies"] = [round(e, 4) for e in pair_effs]
             results[0]["pair_mem_ceilings"] = pair_mem_ceilings
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/pairs_raw.json", "w") as f:
+                json.dump([{"mem_ceiling": mc, "n": rn, "4n": r4}
+                           for mc, (rn, r4) in
+                           zip(pair_mem_ceilings, pair_results)], f,
+                          indent=1, default=str)
         else:
             results = []
             for cores in (args.n, args.n * 4):

@@ -103,6 +103,28 @@ def test_append_df_equals_fresh_build(spark, appended, tmp_path):
     assert df_a == df_f
 
 
+def test_append_html_only_input(spark, tmp_path):
+    """Append over an input carrying only raw html: the per-file filter
+    must run on the raw scan (input_file_name is undefined after the
+    extractor's mapInPandas) and the extractor applies after it."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.sources.tables import IndexStore
+
+    pdf = generate_pages(200).drop(columns=["text"])
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    d = str(tmp_path / "idx")
+    _write_pages_file(pdf.iloc[:150], str(pdir / "f0.parquet"))
+    r1 = build_index(spark, spark.read.parquet(str(pdir)), d)
+    assert r1.n_docs == 150
+    _write_pages_file(pdf.iloc[150:], str(pdir / "f1.parquet"))
+    r2 = build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+    assert r2.resumed_stages[0].startswith("append:")
+    assert r2.n_docs == 200
+    assert IndexStore(d).read(spark, "doc_stats").count() == 200
+
+
 def test_append_recrawled_urls_not_duplicated(spark, tmp_path):
     """An appended file re-containing already-indexed urls must not
     create second docs for them: url is the document key (the full
