@@ -219,51 +219,6 @@ _FINAL_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
                "payload"]
 
 
-def _finalize_frame(pdf: pd.DataFrame, n_docs: float,
-                    avgdl: float) -> pd.DataFrame:
-    """(term, first_doc)-sorted blocks → + df-derived max_score,
-    per-term dense block_id.  One vectorized pass (reduceat per term)."""
-    from oscar_spark.functions.bm25 import bm25_np
-    n = len(pdf)
-    terms = pdf["term"].to_numpy()
-    starts = np.flatnonzero(
-        np.concatenate(([True], terms[1:] != terms[:-1])))
-    lens = np.diff(np.append(starts, n))
-    dc = pdf["doc_count"].to_numpy(np.int64)
-    df_g = np.add.reduceat(dc, starts)
-    df_arr = np.repeat(df_g, lens).astype(np.float64)
-    out = pdf.copy()
-    out["block_id"] = (np.arange(n, dtype=np.int64) -
-                       np.repeat(starts, lens)).astype("int32")
-    out["max_score"] = bm25_np(
-        pdf["max_tf"].to_numpy(np.float64),
-        pdf["min_dl"].to_numpy(np.float64), df_arr, n_docs, avgdl)
-    return out[_FINAL_COLS]
-
-
-def _finalize_partition(batches: Iterator[pd.DataFrame], n_docs: float,
-                        avgdl: float) -> Iterator[pd.DataFrame]:
-    """Phase-2 kernel over bucket partitions sorted by (term, first_doc):
-    trailing term group carried over across Arrow batch boundaries."""
-    from oscar_spark.functions.tokenize import _pin_arrow_threads
-    _pin_arrow_threads()
-    pending: pd.DataFrame | None = None
-    for pdf in batches:
-        if pending is not None and len(pending):
-            pdf = pd.concat([pending, pdf], ignore_index=True)
-        if len(pdf) == 0:
-            continue
-        terms = pdf["term"].to_numpy()
-        last = terms == terms[-1]
-        cut = len(pdf) - int(last[::-1].cumprod().sum())
-        head = pdf.iloc[:cut]
-        pending = pdf.iloc[cut:].reset_index(drop=True)
-        if len(head):
-            yield _finalize_frame(head, n_docs, avgdl)
-    if pending is not None and len(pending):
-        yield _finalize_frame(pending, n_docs, avgdl)
-
-
 def _final_blocks(spark: SparkSession, tokens: DataFrame,
                   doc_stats: DataFrame, n_ids: int, n_corpus: int,
                   avgdl: float, codec: str) -> DataFrame:
@@ -309,27 +264,32 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
                   BLOCKS_SCHEMA))
     # phase 2 (the explicit two-phase merge) runs on the TINY blocks
     # stream (~rows/BLOCK_SIZE): per-term df, the block-max upper
-    # bound, and global block numbering.  A term's blocks live
-    # wholly inside its bucket, so ONE small shuffle (repartition by
-    # bucket = the final table layout) co-locates every term's
-    # blocks; a sorted-partition kernel then computes df / block_id
-    # / max_score in a single vectorized pass.  blocks is consumed
-    # exactly once, so the whole stage is ONE job with two
-    # exchanges — an earlier shape parked phase-1 runs in a parquet
-    # checkpoint (the analog of oscar's OOM partial sorted runs,
-    # reference/oscar-create/readwritefuncs.cpp:340-394), which paid
-    # a full write+read of the payload bytes per build; shuffle
-    # retry already covers executor loss.
+    # bound, and global block numbering.  A term's blocks live wholly
+    # inside its bucket, so hashpartitioning(bucket) SATISFIES the
+    # (bucket, term) clustered distribution the windows below require —
+    # Catalyst inserts NO further exchange, and the whole phase is pure
+    # JVM: Tungsten-sorted windows + a codegen'd bm25 expression.
+    # (An earlier shape ran this as a sorted-partition mapInPandas:
+    # correct, but it dragged every payload byte through an Arrow
+    # round-trip into Python just to annotate three metadata columns —
+    # measured as the flat ~5s tail of the postings stage.)  blocks is
+    # consumed exactly once, so the whole stage is ONE job with two
+    # exchanges; shuffle retry covers executor loss.
+    from pyspark.sql import Window
+    wt = Window.partitionBy("bucket", "term")
     return (
         blocks
         .withColumn("bucket", F.pmod(F.hash("term"),
                                      F.lit(NUM_TERM_BUCKETS)))
         .repartition(NUM_TERM_BUCKETS, "bucket")
-        .sortWithinPartitions("term", "first_doc")
-        .mapInPandas(
-            lambda it, _n=float(n_corpus), _a=float(avgdl):
-            _finalize_partition(it, _n, _a),
-            FINAL_BLOCKS_SCHEMA)
+        .withColumn("block_id",
+                    (F.row_number().over(wt.orderBy("first_doc")) - 1)
+                    .cast("int"))
+        .withColumn("_df", F.sum("doc_count").over(wt))
+        .withColumn("max_score", F.expr(bm25_sql(
+            "max_tf", "min_dl", "_df",
+            repr(float(n_corpus)), repr(float(avgdl)))))
+        .select(*_FINAL_COLS)
     )
 
 

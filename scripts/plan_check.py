@@ -90,9 +90,13 @@ def main() -> int:
               expect_none=[r"BatchEvalPython", r"PythonUDF"])
 
         # 7. the build's postings pipeline has NO single-partition
-        # exchange and no global window at ANY scale (round 1's
-        # term-dictionary row_number window was exactly that; it is
-        # gone — terms shuffle as strings, ids stay local)
+        # exchange at ANY scale (round 1's term-dictionary row_number
+        # window was exactly that; gone — terms shuffle as strings, ids
+        # stay local).  The phase-2 window IS present but partitioned
+        # by (bucket, term), which the bucket repartition already
+        # satisfies — asserted by requiring a partitioned Window spec
+        # and banning both SinglePartition and any window without
+        # PARTITION BY.
         from oscar_spark.build.indexer import _final_blocks
         from oscar_spark.sources.tables import IndexStore
         st = IndexStore(d)
@@ -101,8 +105,9 @@ def main() -> int:
                            300, 300, 50.0, "varint")
         check("index build postings pipeline (no single-partition stage)",
               fb,
-              expect_all=[r"ArrowEvalPython|MapInPandas|mapInPandas"],
-              expect_none=[r"Exchange SinglePartition", r"\bWindow\b"])
+              expect_all=[r"ArrowEvalPython|MapInPandas|mapInPandas",
+                          r"Window.*partitionBy|windowspecdefinition\(bucket"],
+              expect_none=[r"Exchange SinglePartition"])
 
     n_fail = sum(1 for _, ok in checks if not ok)
     with open("PLANS.md", "w") as f:
