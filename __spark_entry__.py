@@ -68,10 +68,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": lambda s, d: similarity.ann_lsh_topk(s, d, 0, 10),
         "sim_label_centroids": similarity.label_centroids,
         # IVF scale path: deterministic sampled-centroid coarse
-        # quantizer + nprobe search
-        "sim_ivf_assign": lambda s, d: similarity.ivf_assign(s, d),
+        # quantizer + nprobe search.  stride pinned to IVF_STRIDE so
+        # the DuckDB oracle replicates the exact centroid set; the
+        # library default (stride=None) auto-sizes k ≈ √n
+        "sim_ivf_assign": lambda s, d: similarity.ivf_assign(
+            s, d, stride=similarity.IVF_STRIDE),
         "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
-            s, d, 0, 10, nprobe=4),
+            s, d, 0, 10, nprobe=4, stride=similarity.IVF_STRIDE),
         # banded LSH (2 bands × 32 buckets); n_planes pinned so the
         # DuckDB oracle agrees — production path auto-scales via
         # similarity.auto_planes

@@ -59,7 +59,7 @@ from oscar_spark.build.docids import assign_doc_ids_ranged
 from oscar_spark.config import (BLOCK_SIZE, BROADCAST_DOCID_MAX,
                                 NUM_TERM_BUCKETS, RANGE_SIZE)
 from oscar_spark.functions.bm25 import bm25_sql
-from oscar_spark.functions.codec import encode_runs
+from oscar_spark.functions.codec import PAYLOAD_FORMAT, encode_runs
 from oscar_spark.functions.extract import extract_series
 from oscar_spark.sources.tables import IndexStore
 
@@ -118,8 +118,13 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                                              dtype=gc.dtype)])
             tf_cnt = np.concatenate([tf_cnt, np.zeros(len(empty_idx),
                                                       dtype="int32")])
+        # factorize urls first: from_codes requires UNIQUE categories,
+        # and one batch may legitimately carry the same url twice (e.g.
+        # re-crawled rows — downstream groupBy("url")/left_anti treat
+        # duplicates as expected input)
+        ucodes, ucats = pd.factorize(pdf["url"])
         yield pd.DataFrame({
-            "url": pd.Categorical.from_codes(gi, categories=pdf["url"]),
+            "url": pd.Categorical.from_codes(ucodes[gi], categories=ucats),
             "term": pd.Categorical.from_codes(gc, categories=uniq),
             "tf": tf_cnt,
             "dl": counts[gi].astype("int32"),
@@ -304,21 +309,32 @@ def _write_terms_rev(store: IndexStore, terms: DataFrame,
     CellTextCompleter.h:602-637) at O(n_terms) extra storage instead
     of O(total suffix count).
 
-    terms_ngram: one row per (3-gram of term, term) — `*tok*` becomes
-    intersect-the-gram-lists + contains-verify over candidates instead
-    of a full dictionary scan; O(Σ len(term)) rows, range-partitioned
-    by gram so the per-query read touches only matching row groups."""
+    terms_ngram: one row per (gram of term, term) for grams of length 3
+    AND length 2 — `*tok*` becomes intersect-the-gram-lists +
+    contains-verify over candidates instead of a full dictionary scan
+    (3-gram intersection for stems ≥ 3 chars; the single 2-gram list
+    for 2-char stems, which previously fell through to a linear scan of
+    the whole dictionary).  O(Σ len(term)) rows per gram length (~2×
+    the 3-gram-only mirror), range-partitioned by gram so the per-query
+    read touches only matching row groups; 2- and 3-char grams are
+    disjoint string sets so one column serves both."""
     par = max(terms.sparkSession.sparkContext.defaultParallelism, 8)
     rev = (terms.select(F.reverse("term").alias("rev"), "term", "df")
            .repartitionByRange(par, "rev")
            .sortWithinPartitions("rev"))
-    grams = (terms.select("term")
-             # terms shorter than the gram can't contain any 3-char stem
-             # (and sequence(1, 0) would count DOWN, emitting junk rows)
-             .filter(F.length("term") >= 3)
-             .withColumn("gram", F.explode(F.array_distinct(F.expr(
-                 "transform(sequence(1, length(term) - 2),"
-                 " i -> substring(term, i, 3))"))))
+    # sequence(1, length-g+1) must not count DOWN (junk rows), hence the
+    # per-length filters; MIN_TOKEN_LEN=2 means every term has a 2-gram
+    g3 = (terms.select("term")
+          .filter(F.length("term") >= 3)
+          .withColumn("gram", F.explode(F.array_distinct(F.expr(
+              "transform(sequence(1, length(term) - 2),"
+              " i -> substring(term, i, 3))")))))
+    g2 = (terms.select("term")
+          .filter(F.length("term") >= 2)
+          .withColumn("gram", F.explode(F.array_distinct(F.expr(
+              "transform(sequence(1, length(term) - 1),"
+              " i -> substring(term, i, 2))")))))
+    grams = (g3.unionByName(g2)
              .select("gram", "term")
              .repartitionByRange(par, "gram")
              .sortWithinPartitions("gram", "term"))
@@ -612,6 +628,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             store.write(final_blocks, "postings", partition_by=["bucket"])
             store.set_meta("payload_dedup", False)
         store.set_meta("codec", codec)
+        store.set_meta("payload_format", PAYLOAD_FORMAT)
         store.commit("postings", pfp)
     _mark("postings")
     postings = store.read(spark, "postings")
@@ -633,6 +650,10 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                     .sortWithinPartitions("bucket", "term"),
                     "terms", partition_by=["bucket"])
         _write_terms_rev(store, store.read(spark, "terms"))
+        # the ngram mirror carries 2-grams (short-stem substring path);
+        # serve only takes the 2-char pruned path when this flag says
+        # the mirror has them (older stores fall back to the scan)
+        store.set_meta("ngram2", True)
         store.commit("terms", fp)
     _mark("terms")
     terms = store.read(spark, "terms")
@@ -682,6 +703,16 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     Shared by the file-growth append path (_append_index) and the
     Structured Streaming foreachBatch ingest (streaming/jobs.py).
     """
+    if seg in store.segments("postings"):
+        # a committed segment must never be overwritten: re-running the
+        # ingest over an already-indexed drop would left_anti every url
+        # away and replace the segment's data with EMPTY files while
+        # n_docs/df still count it (the at-least-once replay hazard —
+        # callers skip committed epochs, this guard makes the contract
+        # explicit)
+        raise ValueError(
+            f"segment {seg!r} is already committed in this store; "
+            "replay/skip it instead of re-ingesting")
     n_old = int(store.get_meta("n_docs"))
     avgdl_old = float(store.get_meta("avgdl"))
 
@@ -761,11 +792,37 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
         replace={"terms": [seg], "terms_rev": [seg],
                  "terms_ngram": [seg]},
         meta={"n_docs": n_total, "avgdl": avgdl_total, "codec": codec,
+              "payload_format": PAYLOAD_FORMAT, "ngram2": True,
               **(extra_meta or {})},
         stage_fingerprints={"tokens": fp, "doc_stats": fp,
                             "postings": pfp, "terms": fp},
     )
     return {"n_new": n_new, "n_total": n_total, "avgdl": avgdl_total}
+
+
+def _uri_variants(f: str) -> set[str]:
+    """Every plausible rendering of one file URI/path: raw, plain path,
+    percent-encoded and not, file: with 1/2/3 slashes, with and without
+    the authority.  Used to match DataFrame.inputFiles() entries against
+    input_file_name() values without transforming either side."""
+    from urllib.parse import quote, unquote, urlparse
+    out = {f}
+    if "://" in f or f.startswith("file:"):
+        u = urlparse(f)
+        paths = {unquote(u.path)}
+        paths.add(quote(unquote(u.path)))
+        netloc = u.netloc
+        scheme = u.scheme
+    else:
+        paths = {f, quote(f)}
+        netloc, scheme = "", "file"
+    for p in paths:
+        out.add(p)
+        out.add(f"{scheme}:{p}")
+        out.add(f"{scheme}://{netloc}{p}")
+        if not netloc:
+            out.add(f"{scheme}://{p}")
+    return out
 
 
 def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
@@ -786,19 +843,22 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
     seg = "a%08x" % zlib.crc32(";".join(new_files).encode())
 
     # input_file_name() and DataFrame.inputFiles() render file URIs
-    # differently across sources (file:/p vs file:///p), so both sides
-    # are normalized to plain paths before comparing
-    from urllib.parse import unquote, urlparse
-
-    def _norm(f: str) -> str:
-        return unquote(urlparse(f).path) if f.startswith("file:") or \
-            "://" in f else f
-
-    new_pages = (
-        pages.withColumn(
-            "_f", F.regexp_replace(F.input_file_name(), "^[a-z]+:/+", "/"))
-        .filter(F.col("_f").isin([_norm(f) for f in new_files]))
-        .drop("_f"))
+    # differently across sources (file:/p vs file:///p, percent-encoded
+    # or not, with or without an authority) — and a TRANSFORMED compare
+    # (strip scheme on one side, unquote on the other) silently matches
+    # nothing for encoded paths or object-store URIs, committing an
+    # EMPTY segment while recording the files as ingested.  So: no
+    # transformation of the scan side; instead every new file expands
+    # to all of its plausible URI renderings and the raw
+    # input_file_name() is matched against that closed set.  A zero-row
+    # match is a hard error below, never a silent empty append.
+    targets = sorted(set().union(*(_uri_variants(f) for f in new_files)))
+    new_pages = pages.filter(F.input_file_name().isin(targets))
+    if new_pages.limit(1).count() == 0:
+        raise RuntimeError(
+            f"append: {len(new_files)} new input files matched 0 rows "
+            "(URI rendering mismatch between inputFiles() and "
+            f"input_file_name()?); first new file: {new_files[0]!r}")
     # html-only input: extract AFTER the per-file filter (the filter's
     # input_file_name() is only defined directly over the file scan)
     if "text" not in new_pages.columns:

@@ -342,4 +342,29 @@ def pfor_decode_block(payload: bytes, doc_count: int, range_base: int):
                             doc_count, range_base)
 
 
+def decode_block_v1(payload: bytes, doc_count: int, range_base: int):
+    """Format-1 (pre-flag-byte) payloads: the whole payload is one
+    varint stream in EXPLICIT layout (no dense form existed).  Kept so
+    serve stays able to read stores built before the flag byte — the
+    manifest's payload_format field dispatches here."""
+    return _stream_to_block(varint_decode(payload), FLAG_EXPLICIT,
+                            doc_count, range_base)
+
+
+# current payload format (the flag-byte layout documented above).
+# Recorded in the store manifest at build time; block_decoder() picks
+# the decoder from (codec, format) so old stores never hit the flag
+# dispatch (a v1 payload whose first varint byte happens to be 0x00/0x01
+# would otherwise silently mis-decode).
+PAYLOAD_FORMAT = 2
+
 BLOCK_DECODERS = {"varint": decode_block, "pfor": pfor_decode_block}
+
+
+def block_decoder(codec: str, payload_format: int = PAYLOAD_FORMAT):
+    if payload_format == 1:
+        if codec != "varint":
+            raise ValueError(
+                f"payload format 1 predates the {codec!r} codec")
+        return decode_block_v1
+    return BLOCK_DECODERS[codec]

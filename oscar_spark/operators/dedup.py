@@ -82,7 +82,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     the oracle runs the identical candidate pipeline so results match.
     """
     sh = _shingles(load_documents(spark, sf_dir))
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = _lsh_candidates(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (cand
              .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -137,15 +137,20 @@ def ngram_jaccard_sql(threshold: float = 0.8) -> str:
             "ORDER BY doc_a, doc_b")
 
 
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted MinHash signatures (internal: LSH banding re-sorts)."""
+    sh = _shingles(load_documents(spark, sf_dir))
+    aggs = [F.min(F.md5(F.concat(F.lit(str(p)), F.col("shingle"))))
+            .alias(f"sig{p}") for p in range(MINHASH_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature per doc: sig_p = min(md5(p || shingle)).
 
     Seeded md5 makes the permutation family identical in both engines.
     """
-    sh = _shingles(load_documents(spark, sf_dir))
-    aggs = [F.min(F.md5(F.concat(F.lit(str(p)), F.col("shingle"))))
-            .alias(f"sig{p}") for p in range(MINHASH_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return _signatures(spark, sf_dir).orderBy("doc_id")
 
 
 MINHASH_SQL = (
@@ -155,13 +160,18 @@ MINHASH_SQL = (
     " FROM sh GROUP BY doc_id ORDER BY doc_id")
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band signature.
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSORTED candidate near-dup pairs: docs sharing any LSH band
+    signature.  band b key = concat(sig[b*r] .. sig[b*r+r-1]); self-join
+    per band — at scale, the shuffle key is (band, key) so only
+    colliding docs meet.
 
-    band b key = concat(sig[b*r] .. sig[b*r+r-1]); self-join per band —
-    at scale, the shuffle key is (band, key) so only colliding docs meet.
+    Deliberately no orderBy: ngram_jaccard_pairs and dedup_components
+    consume this as an intermediate, where a range-partition sort
+    exchange is pure waste — only the driver-query boundary
+    (minhash_lsh_pairs) sorts.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    sig = _signatures(spark, sf_dir)
     r = MINHASH_PERMS // LSH_BANDS
     # ONE pass over the signatures: posexplode of the band-key array
     # (a per-band select + union re-shingles the corpus LSH_BANDS times)
@@ -170,14 +180,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(LSH_BANDS)])
     all_bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key"))
-    pairs = (all_bands.alias("a")
-             .join(all_bands.alias("b"), ["band", "key"])
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct()
-             .orderBy("doc_a", "doc_b"))
-    return pairs
+    return (all_bands.alias("a")
+            .join(all_bands.alias("b"), ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs, sorted (the driver-query boundary)."""
+    return _lsh_candidates(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def minhash_lsh_sql() -> str:
@@ -202,8 +215,15 @@ def dedup_components(spark: SparkSession, sf_dir: str,
     over |E| rows, at any corpus size.  Labels are checkpointed per
     round: iterative lineage otherwise re-executes the whole prefix
     every round.
+
+    The loop ALWAYS runs to the fixpoint (min-label propagation is
+    monotone-decreasing over a finite label set, so it terminates in
+    ≤ diameter ≤ |V| rounds); max_iter is only a diagnostic threshold —
+    a component deeper than it logs a warning but is still labeled
+    correctly.  Stopping early would return split components that
+    silently diverge from the transitive-closure oracle.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_candidates(spark, sf_dir)
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
@@ -212,7 +232,8 @@ def dedup_components(spark: SparkSession, sf_dir: str,
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("comp", F.col("doc_id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         neigh = (edges.join(labels.withColumnRenamed("doc_id", "src"),
                             "src")
                  .groupBy(F.col("dst").alias("doc_id"))
@@ -228,8 +249,15 @@ def dedup_components(spark: SparkSession, sf_dir: str,
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels.unpersist()
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
+        if rounds == max_iter:
+            import warnings
+            warnings.warn(
+                f"dedup_components: not converged after {max_iter} "
+                "rounds (unusually deep near-dup component); continuing "
+                "to fixpoint", stacklevel=2)
     return labels.orderBy("doc_id")
 
 

@@ -87,12 +87,27 @@ DOC_STATS_SQL = (
     " AS rank FROM tok GROUP BY doc_id")
 
 
+_TF_CACHE: list[DataFrame] = []
+
+
+def _release_tf_cache() -> None:
+    """Unpersist the previous catalog query's tf cache — Spark's
+    CacheManager pins cached plans forever, so a long session would
+    otherwise accumulate one cached RDD per bm25_topk call (the same
+    leak SearchEngine._release_brute_cache fixes on the serve path)."""
+    while _TF_CACHE:
+        _TF_CACHE.pop().unpersist()
+
+
 def _scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
     """(doc_id, score per term present, n_match) for a list of terms."""
     t = tokens(docs)
     # cached: dl, dfs and the scored join all branch from tf — without
-    # the cache the corpus is re-tokenized per branch
+    # the cache the corpus is re-tokenized per branch.  At most ONE such
+    # cache is live at a time (released on the next _scores call).
+    _release_tf_cache()
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    _TF_CACHE.append(tf)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     # N and avgdl as a 1-row broadcast aggregate (declarative scalar

@@ -155,23 +155,42 @@ def ann_lsh_topk_sql(query_vec_id: int = 0, k: int = 10,
         f"ORDER BY cosine DESC, vec_id ASC LIMIT {k}")
 
 
-IVF_STRIDE = 32  # every 32nd vector is a coarse centroid (deterministic)
+IVF_STRIDE = 32  # pinned stride for driver/oracle parity queries
+
+
+def auto_stride(n_rows: int) -> int:
+    """Stride so the centroid count k = n/stride ≈ √n — the standard
+    IVF sizing (total distance work = coarse scan n·k + per-cell scan
+    n·(n/k) per full reassignment is minimized at k = √n, and the
+    broadcast centroid table grows SUBLINEARLY with the corpus).  A
+    fixed stride makes k = n/stride grow linearly: at 10^12 vectors
+    the 'broadcast' table would be 3×10^10 rows and assignment n²/32
+    cosine evals — the round-2 scale-killer this replaces."""
+    import math
+    return max(1, round(math.sqrt(max(n_rows, 1))))
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str,
-               stride: int = IVF_STRIDE) -> DataFrame:
+               stride: int | None = None) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid
     by cosine, centroids = the deterministic sample {vec_id % stride ==
     0} (no iterative k-means — pinned, so an external oracle can
     replicate the exact partition).  → (vec_id, cid, ROUND(cos,6)).
 
+    stride=None (the library default) sizes the sample via auto_stride
+    so k ≈ √n; the driver query pins stride=IVF_STRIDE only so the
+    DuckDB oracle can replicate the exact centroid set.
+
     Scale shape: assignment is a crossJoin against the BROADCAST
-    centroid table (n·k distance rows, k = n/stride coarse cells) with
+    centroid table (n·k distance rows ⇒ n^1.5 with auto sizing) with
     a per-vector argmin — embarrassingly parallel, no shuffle of the
-    vector table.  Production IVF grows k ~ √n and trains centroids;
-    the partition/probe machinery here is the same.
+    vector table.  At corpus sizes where even √n centroids exceed
+    broadcast limits, the next rung is a hierarchical (two-level)
+    quantizer over the same machinery.
     """
     emb = load_embeddings(spark, sf_dir)
+    if stride is None:
+        stride = auto_stride(emb.count())
     cent = (emb.filter(F.col("vec_id") % stride == 0)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cv")))
@@ -208,14 +227,16 @@ def ivf_assign_sql(stride: int = IVF_STRIDE) -> str:
 
 def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
              k: int = 10, nprobe: int = 4,
-             stride: int = IVF_STRIDE) -> DataFrame:
+             stride: int | None = None) -> DataFrame:
     """IVF search: probe the query's nprobe nearest coarse cells, exact
     cosine top-k among the vectors assigned to them.  The candidate set
     is (nprobe/k_cells) of the table — the standard IVF recall/cost
-    dial; at 10^12 vectors the probed cells' vectors are fetched by a
-    partition-pruned read when the assignment is written partitioned
-    by cid."""
+    dial.  This form recomputes the assignment inline (oracle-checkable
+    in one query); production uses ivf_build + ivf_topk_indexed, where
+    the probe fetch is a cid-partition-pruned read."""
     emb = load_embeddings(spark, sf_dir)
+    if stride is None:
+        stride = auto_stride(emb.count())
     assign = ivf_assign(spark, sf_dir, stride).select("vec_id", "cid")
     qrow = emb.filter(F.col("vec_id") == query_vec_id) \
         .select("embedding").collect()[0]
@@ -223,15 +244,67 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     cent = (emb.filter(F.col("vec_id") % stride == 0)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cv")))
-    qcos = _dot(F.col("cv"), F.col("qv")) / \
-        (_norm(F.col("cv")) * _norm(F.col("qv")))
-    probes = [r["cid"] for r in
-              cent.crossJoin(F.broadcast(q))
-              .select("cid", F.round(qcos, 6).alias("c"))
-              .orderBy(F.desc("c"), F.asc("cid"))
-              .limit(nprobe).collect()]
+    probes = _probe_cids(cent, q, nprobe)
     cand = (emb.join(assign.filter(F.col("cid").isin(probes)), "vec_id")
             .filter(F.col("vec_id") != query_vec_id))
+    cos = _dot(F.col("embedding"), F.col("qv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("qv")))
+    return (cand.crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+
+
+def _probe_cids(cent: DataFrame, q: DataFrame, nprobe: int) -> list[int]:
+    """nprobe nearest centroid ids to the (1-row) query vector table."""
+    qcos = _dot(F.col("cv"), F.col("qv")) / \
+        (_norm(F.col("cv")) * _norm(F.col("qv")))
+    return [r["cid"] for r in
+            cent.crossJoin(F.broadcast(q))
+            .select("cid", F.round(qcos, 6).alias("c"))
+            .orderBy(F.desc("c"), F.asc("cid"))
+            .limit(nprobe).collect()]
+
+
+def ivf_build(spark: SparkSession, sf_dir: str, out_dir: str,
+              stride: int | None = None) -> int:
+    """Materialize the IVF index: `centroids` parquet (cid, cv) and the
+    assignment parquet PARTITIONED BY cid — so ivf_topk_indexed's probe
+    fetch reads only the nprobe probed cells' partitions (partition
+    pruning), never the full assignment.  Embeddings ride along in the
+    assignment so a probe needs no second join against the raw table.
+    Returns the stride used (auto_stride(n) when stride=None)."""
+    import os
+    emb = load_embeddings(spark, sf_dir)
+    if stride is None:
+        stride = auto_stride(emb.count())
+    cent = (emb.filter(F.col("vec_id") % stride == 0)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    assign = ivf_assign(spark, sf_dir, stride).select("vec_id", "cid")
+    (emb.join(assign, "vec_id")
+     .select("cid", "vec_id", "embedding")
+     .write.mode("overwrite").partitionBy("cid")
+     .parquet(os.path.join(out_dir, "assign")))
+    return stride
+
+
+def ivf_topk_indexed(spark: SparkSession, out_dir: str,
+                     query_vec: list[float], k: int = 10,
+                     nprobe: int = 4,
+                     exclude_vec_id: int | None = None) -> DataFrame:
+    """Probe a materialized IVF index (ivf_build output): rank centroids
+    against the query, then scan ONLY the probed cells — a
+    cid-partition-pruned parquet read (asserted in plan tests), the
+    10^12-vector serve path."""
+    import os
+    cent = spark.read.parquet(os.path.join(out_dir, "centroids"))
+    q = spark.createDataFrame([(list(query_vec),)], "qv array<double>")
+    probes = _probe_cids(cent, q, nprobe)
+    cand = (spark.read.parquet(os.path.join(out_dir, "assign"))
+            .filter(F.col("cid").isin(probes)))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
     cos = _dot(F.col("embedding"), F.col("qv")) / \
         (_norm(F.col("embedding")) * _norm(F.col("qv")))
     return (cand.crossJoin(F.broadcast(q))

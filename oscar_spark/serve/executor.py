@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from oscar_spark.config import NUM_TERM_BUCKETS, RANGE_SIZE
 from oscar_spark.functions.bm25 import bm25_np
-from oscar_spark.functions.codec import BLOCK_DECODERS
+from oscar_spark.functions.codec import block_decoder
 from oscar_spark.serve import parser
 from oscar_spark.sources.tables import IndexStore
 
@@ -90,9 +90,16 @@ class SearchEngine:
             avgdl = float(row["a"]) if row["a"] is not None else 0.0
         self.n_docs = int(n_docs)
         self.avgdl = float(avgdl)
-        # codec recorded by the build (varint default, pfor variant)
-        self._decode = BLOCK_DECODERS[
-            self.store.get_meta("codec", "varint")]
+        # codec + payload format recorded by the build (varint default,
+        # pfor variant).  Stores that predate the payload_format field:
+        # the flag byte and the codec field landed together, so a store
+        # with codec meta uses the flagged layout (2) and one without
+        # uses the original unflagged layout (1).
+        fmt = self.store.get_meta("payload_format")
+        if fmt is None:
+            fmt = 2 if self.store.get_meta("codec") is not None else 1
+        self._decode = block_decoder(
+            self.store.get_meta("codec", "varint"), int(fmt))
         # A7 payload-dedup stores keep payloads in a side table keyed by
         # (bucket, md5); only the payload-FETCH path joins it — metadata
         # pruning stays join-free
@@ -180,11 +187,17 @@ class SearchEngine:
                     .limit(MAX_PREFIX_EXPAND).collect())
             return [r["term"] for r in rows]
         if kind == "substr" and self._terms_ngram is not None \
-                and len(stem) >= 3:
+                and (len(stem) >= 3
+                     or (len(stem) == 2
+                         and self.store.get_meta("ngram2", False))):
             # intersect the stem's 3-gram posting lists over the
             # dictionary, then verify contains on the candidates — the
-            # read touches only the matching grams' row groups
-            grams = sorted({stem[i:i + 3] for i in range(len(stem) - 2)})
+            # read touches only the matching grams' row groups.  A
+            # 2-char stem uses its single 2-gram list (present in
+            # stores built with the ngram2 mirror — previously it fell
+            # through to a LINEAR scan of the whole dictionary)
+            grams = (sorted({stem[i:i + 3] for i in range(len(stem) - 2)})
+                     if len(stem) >= 3 else [stem])
             cand = (self._terms_ngram
                     .filter(F.col("gram").isin(grams))
                     .groupBy("term")

@@ -71,28 +71,48 @@ def stream_index_ingest(spark: SparkSession, pages_dir: str,
     appended after the committed space, postings as a new segment,
     terms merged, ONE atomic manifest commit).  The streaming
     checkpoint tracks which files were consumed, so a crashed driver
-    resumes without re-ingesting — Structured Streaming's exactly-once
-    file tracking composes with the store's snapshot isolation (a
-    replayed batch rewrites the same seg=e<epoch> directory and
-    re-commits idempotently).  trigger(availableNow) drains what exists
-    and stops; drop it for a long-running daemon."""
+    resumes without re-ingesting.
+
+    foreachBatch is at-least-once: a crash BETWEEN the store's atomic
+    commit_append and the streaming checkpoint advance replays the
+    epoch.  On replay every url is already indexed, so re-running the
+    ingest would overwrite the manifest-listed seg=e<epoch> directories
+    with EMPTY data while n_docs/df still count them — so a replayed
+    epoch whose segment is already committed is a true no-op here (the
+    composition with the store's snapshot isolation: half-written
+    uncommitted segments get rewritten, committed ones are skipped).
+    trigger(availableNow) drains what exists and stops; drop it for a
+    long-running daemon."""
+    schema = spark.read.parquet(pages_dir).schema
+    q = (spark.readStream.schema(schema).parquet(pages_dir)
+         .writeStream.foreachBatch(
+             make_batch_ingestor(spark, index_dir, codec))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def make_batch_ingestor(spark: SparkSession, index_dir: str,
+                        codec: str | None = None):
+    """The foreachBatch callback of stream_index_ingest (module-level so
+    the replay-skip contract is directly testable): first batch = full
+    build; later batches = ingest_segment; a REPLAYED epoch whose
+    segment is already committed is a no-op (see stream_index_ingest's
+    at-least-once note)."""
     from oscar_spark.build.indexer import build_index, ingest_segment
     from oscar_spark.config import POSTINGS_CODEC
     from oscar_spark.sources.tables import IndexStore
-
-    schema = spark.read.parquet(pages_dir).schema
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         store = IndexStore(index_dir)
         if store.get_meta("n_docs") is None:
             build_index(spark, batch_df, index_dir, codec=codec)
+        elif f"e{epoch_id}" in store.segments("postings"):
+            # replayed epoch, already committed — skip (see docstring)
+            return
         else:
             ingest_segment(spark, batch_df, store, f"e{epoch_id}",
                            codec or POSTINGS_CODEC, fp=f"stream-e{epoch_id}")
 
-    q = (spark.readStream.schema(schema).parquet(pages_dir)
-         .writeStream.foreachBatch(_ingest)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    return _ingest
