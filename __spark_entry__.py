@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_set_not": lambda s, d: fts.set_op(s, d, SET_A, SET_B, "not"),
         "fts_set_xor": lambda s, d: fts.set_op(s, d, SET_A, SET_B, "xor"),
         "fts_prefix": lambda s, d: fts.prefix_search(s, d, "qu"),
+        # true phrase semantics (QT_EXACT analog): tokens adjacent in
+        # the indexed stream, not AND-of-tokens
+        "fts_phrase": lambda s, d: fts.phrase_topk(
+            s, d, ["order", "scan"], k=10),
         "fts_facet_stats": lambda s, d: fts.facet_stats(s, d, "data"),
         "fts_facet_entropy": lambda s, d: fts.facet_entropy(s, d, "data"),
         # shannonKvstats exclusion-set parity (Workfunctions.cpp:171-233)
@@ -120,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_set_not": fts.set_op_sql(SET_A, SET_B, "not"),
         "fts_set_xor": fts.set_op_sql(SET_A, SET_B, "xor"),
         "fts_prefix": fts.prefix_search_sql("qu"),
+        "fts_phrase": fts.phrase_topk_sql(["order", "scan"], 10),
         "fts_facet_stats": fts.facet_stats_sql("data"),
         "fts_facet_entropy": fts.facet_entropy_sql("data"),
         "fts_facet_entropy_excl": fts.facet_entropy_sql(

@@ -64,6 +64,10 @@ from oscar_spark.functions.extract import extract_series
 from oscar_spark.sources.tables import IndexStore
 
 TOKENS_SCHEMA = "url string, term string, tf int, dl int"
+# positional build: per-(doc, term) occurrence positions in the
+# FILTERED token stream (short tokens dropped before numbering — the
+# same rule tokens_pos/the oracle use, so adjacency agrees everywhere)
+TOKENS_POS_SCHEMA = TOKENS_SCHEMA + ", pos array<int>"
 # the big shuffle carries the term STRING, not a dictionary id: web
 # vocabulary terms are short (≈7 bytes, about an int64), so a global
 # term→tid dictionary would trade a SECOND full scan of the token table
@@ -77,6 +81,7 @@ BLOCKS_SCHEMA = (
     "term string, range_id long, first_doc long, last_doc long, "
     "doc_count int, max_tf int, min_dl int, payload binary"
 )
+BLOCKS_POS_SCHEMA = BLOCKS_SCHEMA + ", pos_payload binary"
 FINAL_BLOCKS_SCHEMA = (
     "bucket int, term string, block_id int, range_id long, "
     "first_doc long, last_doc long, doc_count int, max_tf int, "
@@ -84,8 +89,11 @@ FINAL_BLOCKS_SCHEMA = (
 )
 
 
-def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(url, text) batches → (url, term, tf, dl) with per-doc tf combine.
+def _tokenize_batches(batches: Iterator[pd.DataFrame],
+                      with_positions: bool = False) -> Iterator[pd.DataFrame]:
+    """(url, text) batches → (url, term, tf, dl[, pos]) with per-doc tf
+    combine; with_positions adds each (doc, term)'s occurrence-position
+    list (int32, strictly increasing).
 
     Arrow-native end to end: tokenize_flat keeps every token occurrence
     in Arrow C++ memory (dictionary codes), the per-(doc, term) tf
@@ -123,17 +131,34 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         # re-crawled rows — downstream groupBy("url")/left_anti treat
         # duplicates as expected input)
         ucodes, ucats = pd.factorize(pdf["url"])
-        yield pd.DataFrame({
+        out = {
             "url": pd.Categorical.from_codes(ucodes[gi], categories=ucats),
             "term": pd.Categorical.from_codes(gc, categories=uniq),
             "tf": tf_cnt,
             "dl": counts[gi].astype("int32"),
-        })
+        }
+        if with_positions:
+            # token position within its doc's filtered stream: tokens
+            # arrive doc-grouped in order, so pos = global index − the
+            # doc's start offset.  The stable sort above keeps each
+            # (doc, term) group's occurrences in increasing-pos order,
+            # so per-group lists are np.split at the group starts.
+            dstarts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=dstarts[1:])
+            tok_pos = np.arange(len(doc_idx), dtype=np.int64) \
+                - dstarts[doc_idx]
+            pos_sorted = tok_pos[order]
+            plists = [a.astype("int32") for a in
+                      np.split(pos_sorted, starts[1:])] if len(sk) else []
+            if len(empty_idx):
+                plists += [np.empty(0, dtype="int32")] * len(empty_idx)
+            out["pos"] = plists
+        yield pd.DataFrame(out)
 
 
 def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
                 tfs: np.ndarray, dls: np.ndarray,
-                codec: str = "varint") -> pd.DataFrame:
+                codec: str = "varint", positions=None) -> pd.DataFrame:
     """Encode a (term, range_id, doc_id)-sorted run of postings into
     posting-block rows via the single-pass batched codec.
 
@@ -156,7 +181,8 @@ def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     # not per-element Python string equality
     codes, uniq = pd.factorize(terms)
     res = encode_runs(codes.astype(np.int64), rngs, ids, tfs, dls,
-                      BLOCK_SIZE, RANGE_SIZE, codec=codec)
+                      BLOCK_SIZE, RANGE_SIZE, codec=codec,
+                      positions=positions)
     out = pd.DataFrame(res)
     if len(out):
         out["term"] = np.asarray(uniq, dtype=object)[
@@ -165,7 +191,8 @@ def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
 
 
 def _encode_partition(batches: Iterator[pd.DataFrame],
-                      codec: str = "varint") -> Iterator[pd.DataFrame]:
+                      codec: str = "varint",
+                      with_positions: bool = False) -> Iterator[pd.DataFrame]:
     """Partition encoder with cross-batch carry-over.
 
     Input partitions are hash-partitioned on (term, range_id) and sorted
@@ -207,7 +234,8 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
                 head["term"].to_numpy(), head["range_id"].to_numpy(),
                 head["doc_id"].to_numpy(np.int64),
                 head["tf"].to_numpy(np.int64),
-                head["dl"].to_numpy(np.int64), codec)
+                head["dl"].to_numpy(np.int64), codec,
+                head["pos"].to_numpy() if with_positions else None)
     tail = ([pending] if pending is not None and len(pending) else []) + buf
     if tail:
         pdf = pd.concat(tail, ignore_index=True)
@@ -216,7 +244,8 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
                 pdf["term"].to_numpy(), pdf["range_id"].to_numpy(),
                 pdf["doc_id"].to_numpy(np.int64),
                 pdf["tf"].to_numpy(np.int64),
-                pdf["dl"].to_numpy(np.int64), codec)
+                pdf["dl"].to_numpy(np.int64), codec,
+                pdf["pos"].to_numpy() if with_positions else None)
 
 
 _FINAL_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
@@ -226,7 +255,8 @@ _FINAL_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
 
 def _final_blocks(spark: SparkSession, tokens: DataFrame,
                   doc_stats: DataFrame, n_ids: int, n_corpus: int,
-                  avgdl: float, codec: str) -> DataFrame:
+                  avgdl: float, codec: str,
+                  positions: bool = False) -> DataFrame:
     """tokens + doc ids → finalized posting-block DataFrame.
 
     Shared by the full build (n_ids == n_corpus) and the incremental
@@ -241,6 +271,8 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
         doc_ids = F.broadcast(doc_ids)
     # else: plain shuffle join; at 10^12 docs the doc_id map is
     # itself big, and AQE picks the join strategy
+    cols = ["term", "range_id", "doc_id", "tf", "dl"] + \
+        (["pos"] if positions else [])
     postings_raw = (
         tokens.filter(F.col("term").isNotNull())
         .join(doc_ids, "url")
@@ -249,8 +281,10 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
         # url is join-only: drop it BEFORE the big shuffle (its ~55
         # string bytes per posting row would be over half the
         # shuffle/Arrow traffic).  The short term string stays — see
-        # the BLOCKS_SCHEMA note for why no term dictionary.
-        .select("term", "range_id", "doc_id", "tf", "dl")
+        # the BLOCKS_SCHEMA note for why no term dictionary.  A
+        # positional build additionally carries each posting's position
+        # list (~Σtf int32s — the inherent cost of a positional index).
+        .select(*cols)
     )
     # the one big shuffle: hash-partition by (term, range_id), sort
     # within partitions — Spark's shuffle-with-spill is the external
@@ -265,8 +299,9 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
               .repartition(n_enc, "term", "range_id")
               .sortWithinPartitions("term", "range_id", "doc_id")
               .mapInPandas(
-                  lambda it, _c=codec: _encode_partition(it, _c),
-                  BLOCKS_SCHEMA))
+                  lambda it, _c=codec, _p=positions:
+                      _encode_partition(it, _c, _p),
+                  BLOCKS_POS_SCHEMA if positions else BLOCKS_SCHEMA))
     # phase 2 (the explicit two-phase merge) runs on the TINY blocks
     # stream (~rows/BLOCK_SIZE): per-term df, the block-max upper
     # bound, and global block numbering.  A term's blocks live wholly
@@ -282,6 +317,7 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
     # exchanges; shuffle retry covers executor loss.
     from pyspark.sql import Window
     wt = Window.partitionBy("bucket", "term")
+    fcols = _FINAL_COLS + (["pos_payload"] if positions else [])
     return (
         blocks
         .withColumn("bucket", F.pmod(F.hash("term"),
@@ -294,7 +330,7 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
         .withColumn("max_score", F.expr(bm25_sql(
             "max_tf", "min_dl", "_df",
             repr(float(n_corpus)), repr(float(avgdl)))))
-        .select(*_FINAL_COLS)
+        .select(*fcols)
     )
 
 
@@ -466,15 +502,21 @@ def input_fingerprint(pages: DataFrame) -> str:
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 resume: bool = False,
                 codec: str | None = None,
-                dedup_payloads: bool = False) -> BuildResult:
+                dedup_payloads: bool = False,
+                positions: bool = False) -> BuildResult:
     """Build the full index (doc_stats, terms, postings, lineage).
 
-    codec: posting payload codec ("varint" | "pfor"); defaults to
-    config.POSTINGS_CODEC.  Recorded in the store manifest; serve
+    codec: posting payload codec ("varint" | "pfor" | "ef"); defaults
+    to config.POSTINGS_CODEC.  Recorded in the store manifest; serve
     dispatches on it.
     dedup_payloads: store each distinct posting payload once (A7,
     ItemIndexFactory analog) at the cost of a payload-fetch join in
-    serve; recorded in the manifest, serve adapts automatically."""
+    serve; recorded in the manifest, serve adapts automatically.
+    positions: store per-posting occurrence positions in a pos_payload
+    side column (QT_EXACT support: quoted queries become TRUE phrase
+    queries in serve instead of AND-of-tokens).  Costs ~Σtf extra
+    varints through the shuffle and on disk — the inherent positional-
+    index tax; recorded in the manifest, appends inherit it."""
     from oscar_spark.config import POSTINGS_CODEC
     codec = codec or POSTINGS_CODEC
     t0 = time.time()
@@ -511,12 +553,16 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         recorded = store.get_meta("input_files")
         cur = input_files_sig(raw_pages)
         if (recorded and cur and len(cur) > len(recorded)
-                and not store.committed("postings", f"{fp}|codec={codec}")
+                and not store.committed(
+                    "postings", f"{fp}|codec={codec}|pos={int(positions)}")
                 and store.get_meta("codec", codec) == codec
-                # payload-dedup stores rebuild on growth: an append
-                # would need a dedup-aware merge of the payloads table
-                and not store.get_meta("payload_dedup", False)
-                and not dedup_payloads
+                # a positional flag flip means a rebuild, not an append
+                and store.get_meta("positions", False) == positions
+                # payload-dedup stores append fine (the new segment's
+                # payloads anti-join the committed payloads table, A7×S6,
+                # re-dedup-on-reimport analog of reference/oscar-create/
+                # oscarcreate.cpp:100-115) — only a MODE FLIP rebuilds
+                and store.get_meta("payload_dedup", False) == dedup_payloads
                 and set(recorded).issubset(cur)
                 and all(cur[f] == recorded[f] for f in recorded)):
             return _append_index(
@@ -533,12 +579,14 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     # inverted N→4N scaling.  A parquet checkpoint makes the cost flat,
     # disk-backed, fully parallel, and doubles as a resume snapshot
     # (store→store re-import, reference/oscar-create/oscarcreate.cpp:86-116).
-    if resume and store.committed("tokens", fp):
+    tfp = f"{fp}|pos={int(positions)}"
+    if resume and store.committed("tokens", tfp):
         resumed.append("tokens")
     else:
         store.write(pages.select("url", "text").mapInPandas(
-            _tokenize_batches, TOKENS_SCHEMA), "tokens")
-        store.commit("tokens", fp)
+            lambda it, _p=positions: _tokenize_batches(it, _p),
+            TOKENS_POS_SCHEMA if positions else TOKENS_SCHEMA), "tokens")
+        store.commit("tokens", tfp)
     _mark("tokens")
     tokens = store.read(spark, "tokens")
 
@@ -589,12 +637,12 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     # codec folded into the stage fingerprint: resume over an index
     # committed with a DIFFERENT codec must rebuild, not silently keep
     # the old payloads under the new codec label
-    pfp = f"{fp}|codec={codec}"
+    pfp = f"{fp}|codec={codec}|pos={int(positions)}"
     if resume and store.committed("postings", pfp):
         resumed.append("postings")
     else:
         final_blocks = _final_blocks(spark, tokens, doc_stats, n_docs,
-                                     n_docs, avgdl, codec)
+                                     n_docs, avgdl, codec, positions)
         if dedup_payloads:
             # A7: store-wide posting-payload dedup (ItemIndexFactory,
             # reference/oscar-create/oscarcreate.cpp:74,100-115 — one
@@ -629,6 +677,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
             store.set_meta("payload_dedup", False)
         store.set_meta("codec", codec)
         store.set_meta("payload_format", PAYLOAD_FORMAT)
+        store.set_meta("positions", positions)
         store.commit("postings", pfp)
     _mark("postings")
     postings = store.read(spark, "postings")
@@ -715,11 +764,15 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
             "replay/skip it instead of re-ingesting")
     n_old = int(store.get_meta("n_docs"))
     avgdl_old = float(store.get_meta("avgdl"))
+    positions = bool(store.get_meta("positions", False))
 
-    # ---- tokenize only the new pages ----
+    # ---- tokenize only the new pages (positional stores stay
+    # positional: the flag is inherited from the manifest) ----
     store.write_segment(
         new_pages.select("url", "text").mapInPandas(
-            _tokenize_batches, TOKENS_SCHEMA), "tokens", seg)
+            lambda it, _p=positions: _tokenize_batches(it, _p),
+            TOKENS_POS_SCHEMA if positions else TOKENS_SCHEMA),
+        "tokens", seg)
     mark("tokens_append")
     tokens_new = store.read_segment(spark, "tokens", seg)
 
@@ -754,9 +807,10 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     # ---- postings for the new docs (same pipeline, new data only) ----
     final_new = _final_blocks(
         spark, tokens_new, store.read_segment(spark, "doc_stats", seg),
-        n_new, n_total, avgdl_total, codec)
+        n_new, n_total, avgdl_total, codec, positions)
     # continue each term's block numbering after its committed blocks
     terms_old = store.read(spark, "terms")
+    fcols = _FINAL_COLS + (["pos_payload"] if positions else [])
     final_new = (
         final_new
         .join(terms_old.select("term", F.col("n_blocks").alias("_ob")),
@@ -764,7 +818,7 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
         .withColumn("block_id", (F.col("block_id") +
                                  F.coalesce(F.col("_ob"), F.lit(0)))
                     .cast("int"))
-        .select(*_FINAL_COLS))
+        .select(*fcols))
     store.write_segment(final_new, "postings", seg, partition_by=["bucket"])
     mark("postings_append")
 
@@ -785,8 +839,10 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     _write_terms_rev(store, store.read_segment(spark, "terms", seg), seg)
     mark("terms_append")
 
-    # ---- ONE atomic snapshot commit ----
-    pfp = f"{fp}|codec={codec}"
+    # ---- ONE atomic snapshot commit (fingerprint scheme matches
+    # build_index's, incl. the positional flag) ----
+    tfp = f"{fp}|pos={int(positions)}"
+    pfp = f"{fp}|codec={codec}|pos={int(positions)}"
     store.commit_append(
         add={"tokens": [seg], "doc_stats": [seg], "postings": [seg]},
         replace={"terms": [seg], "terms_rev": [seg],
@@ -794,7 +850,7 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
         meta={"n_docs": n_total, "avgdl": avgdl_total, "codec": codec,
               "payload_format": PAYLOAD_FORMAT, "ngram2": True,
               **(extra_meta or {})},
-        stage_fingerprints={"tokens": fp, "doc_stats": fp,
+        stage_fingerprints={"tokens": tfp, "doc_stats": fp,
                             "postings": pfp, "terms": fp},
     )
     return {"n_new": n_new, "n_total": n_total, "avgdl": avgdl_total}

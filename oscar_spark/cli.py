@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
             except OSError:
                 pass
 
+    # per-stage split of the WARM run (parse / expand / term-lookup /
+    # metadata-prune / seed-score / rest-score+topk) — the analog of
+    # the reference's cqr-calc / subSet / toGlobalIds / flaten columns
+    # with min/max/mean/median per stage
+    # (reference/oscar-cmd/Benchmark.cpp:227-304)
+    from oscar_spark.serve.executor import SERVE_STAGES
     rows = []
     for line in open(args.queries):
         q = line.rstrip("\n")
@@ -116,15 +122,25 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         r = eng.search(q, k=args.k)
         warm = time.time() - t0
-        rows.append((q, cold, warm, len(r)))
+        stages = eng.last_stage_times or {}
+        rows.append((q, cold, warm, len(r),
+                     *(stages.get(s, 0.0) for s in SERVE_STAGES)))
     times = sorted(x[2] for x in rows)
     colds = sorted(x[1] for x in rows)
     if args.out:
         import csv
         with open(args.out, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["query", "cold_sec", "warm_sec", "rows"])
+            w.writerow(["query", "cold_sec", "warm_sec", "rows",
+                        *SERVE_STAGES])
             w.writerows(rows)
+
+    def _summary(vals: list[float]) -> dict:
+        vals = sorted(vals)
+        return {"min": round(vals[0], 4), "max": round(vals[-1], 4),
+                "mean": round(sum(vals) / len(vals), 4),
+                "median": round(vals[len(vals) // 2], 4)}
+
     print(json.dumps({
         "queries": len(rows),
         "mode": "cold" if args.cold else "warm",
@@ -132,7 +148,9 @@ def main(argv: list[str] | None = None) -> int:
         "cold_median": round(colds[len(colds) // 2], 4),
         "warm_min": round(times[0], 4), "warm_max": round(times[-1], 4),
         "warm_mean": round(sum(times) / len(times), 4),
-        "warm_median": round(times[len(times) // 2], 4)}))
+        "warm_median": round(times[len(times) // 2], 4),
+        "stages": {s: _summary([r[4 + i] for r in rows])
+                   for i, s in enumerate(SERVE_STAGES)}}))
     return 0
 
 

@@ -127,7 +127,7 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
                 tfs: np.ndarray, dls: np.ndarray,
                 block_size: int, range_size: int,
-                codec: str = "varint") -> dict:
+                codec: str = "varint", positions=None) -> dict:
     """Encode a (term, range_id, doc_id)-sorted run of postings into
     blocks in ONE vectorized pass over the whole run.
 
@@ -142,9 +142,12 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     """
     n = len(ids)
     if n == 0:
-        return {"term": [], "range_id": [], "first_doc": [],
-                "last_doc": [], "doc_count": [], "max_tf": [],
-                "min_dl": [], "payload": []}
+        out = {"term": [], "range_id": [], "first_doc": [],
+               "last_doc": [], "doc_count": [], "max_tf": [],
+               "min_dl": [], "payload": []}
+        if positions is not None:
+            out["pos_payload"] = []
+        return out
     ids = np.ascontiguousarray(ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
@@ -191,13 +194,24 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
         payloads = [bytes([f]) + pfor_encode(stream[3 * s:e])
                     for f, s, e in zip(flags.tolist(), bstarts.tolist(),
                                        v_end.tolist())]
+    elif codec == "ef":
+        # Elias-Fano ids + varint tf/dl tail; dense blocks carry no id
+        # stream (same as the varint codec's dense form)
+        payloads = [
+            bytes([FLAG_DENSE]) + varint_encode(
+                stream[3 * s:3 * s + 2 * (e - s) + 1])
+            if f == FLAG_DENSE else
+            ef_encode_block(ids[s:e], tfs[s:e], dls[s:e],
+                            int(rngs[s]) * range_size)
+            for f, s, e in zip(flags.tolist(), bstarts.tolist(),
+                               bends.tolist())]
     else:
         raw, offs = varint_encode_with_offsets(stream)
         bs = offs[3 * bstarts].tolist()
         be = offs[v_end].tolist()
         payloads = [bytes([f]) + raw[s:e]
                     for f, s, e in zip(flags.tolist(), bs, be)]
-    return {
+    out = {
         "term": terms[bstarts],
         "range_id": rngs[bstarts],
         "first_doc": ids[bstarts],
@@ -207,6 +221,65 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
         "min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32),
         "payload": payloads,
     }
+    if positions is not None:
+        out["pos_payload"] = encode_position_runs(
+            positions, tfs, bstarts, bends)
+    return out
+
+
+def encode_position_runs(positions, tfs: np.ndarray,
+                         bstarts: np.ndarray,
+                         bends: np.ndarray) -> list[bytes]:
+    """Per-posting position lists → per-block varint payloads for the
+    positional SIDE stream (pos_payload column; the main payload format
+    is untouched, so positional and plain indexes share one decoder).
+
+    Layout per block: positions of its postings in posting order, each
+    posting's list gap-encoded (first position absolute, then deltas);
+    per-posting value counts are the tfs from the main payload, so no
+    lengths are stored.  One varint_encode pass over the whole run,
+    sliced at block boundaries — the same single-pass shape as
+    encode_runs."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    if len(positions):
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in positions])
+    else:
+        flat = np.empty(0, dtype=np.int64)
+    if flat.shape[0] != int(tfs.sum()):
+        raise ValueError("positions/tf length mismatch")
+    pstarts = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pstarts[1:])
+    gaps = np.empty_like(flat)
+    if len(flat):
+        gaps[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+        starts_idx = pstarts[:-1][tfs > 0]
+        gaps[starts_idx] = flat[starts_idx]
+    raw, offs = varint_encode_with_offsets(gaps.astype(np.uint64))
+    bs = offs[pstarts[bstarts]].tolist()
+    be = offs[pstarts[bends]].tolist()
+    return [raw[s:e] for s, e in zip(bs, be)]
+
+
+def decode_position_block(buf: bytes, tfs: np.ndarray):
+    """Inverse of one encode_position_runs slice → (flat positions
+    int64, offsets int64[len(tfs)+1]); posting i's positions are
+    flat[offsets[i]:offsets[i+1]] (strictly increasing)."""
+    gaps = varint_decode(buf).astype(np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offs[1:])
+    if gaps.shape[0] != offs[-1]:
+        raise ValueError(
+            f"corrupt position block: {gaps.shape[0]} values for "
+            f"sum(tf)={offs[-1]}")
+    c = np.cumsum(gaps)
+    # segmented cumsum: subtract, for every value, the running sum
+    # accumulated BEFORE its posting's first value
+    base = c[offs[:-1]] - gaps[offs[:-1]] if len(gaps) else c
+    flat = c - np.repeat(base, tfs)
+    return flat, offs
 
 
 def _stream_to_block(stream: np.ndarray, flag: int, doc_count: int,
@@ -342,6 +415,104 @@ def pfor_decode_block(payload: bytes, doc_count: int, range_base: int):
                             doc_count, range_base)
 
 
+# ---- Elias-Fano codec variant ----
+# Third codec rung (reference compares rlede / eliasfano / wah / native,
+# reference/data/configs/oscar-create/index_eliasfano.json); ours:
+# varint (default) / pfor / ef, selected per build and recorded in the
+# manifest.  EF is the information-theoretic-optimal monotone-sequence
+# code: doc ids within a block are strictly increasing, so the EXPLICIT
+# form stores them as Elias-Fano (low bits packed, high bits unary) and
+# keeps tf/dl as a varint stream; the DENSE form (consecutive ids) has
+# no id stream at all and is byte-identical to the varint codec's.
+#
+# EF block payload layout (after the 1-byte flag):
+#   explicit: [varint u (universe = max offset + 1)]
+#             [high bits: unary bitvector, ceil((n + (u>>l) + 1)/8) B]
+#             [low bits: n*l bits packed little-endian]
+#             [varint stream: tfs then dls]
+#             with l = max(0, floor(log2(u/n))) — derived, not stored.
+#   dense:    [varint stream: delta0, tfs, dls]  (same as varint codec)
+
+def _ef_params(u: int, n: int) -> tuple[int, int, int]:
+    """→ (l, high_bytes, low_bytes) for universe u, count n."""
+    import math
+    l = max(0, int(math.floor(math.log2(max(u / n, 1.0)))))
+    bv_len = n + (u >> l) + 1
+    return l, (bv_len + 7) // 8, (n * l + 7) // 8
+
+
+def ef_encode(vals: np.ndarray) -> bytes:
+    """Elias-Fano encode a strictly-increasing uint64 array (≥1 value)."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(vals)
+    u = int(vals[-1]) + 1
+    l, high_bytes, _ = _ef_params(u, n)
+    low = vals & ((np.uint64(1) << np.uint64(l)) - np.uint64(1)) if l \
+        else np.zeros(n, dtype=np.uint64)
+    high = (vals >> np.uint64(l)).astype(np.int64)
+    bits = np.zeros(high_bytes * 8, dtype=np.uint8)
+    bits[high + np.arange(n, dtype=np.int64)] = 1
+    return (varint_encode(np.array([u], dtype=np.uint64))
+            + np.packbits(bits, bitorder="little").tobytes()
+            + _pack_bits(low, l))
+
+
+def ef_decode(buf: bytes, n: int) -> tuple[np.ndarray, int]:
+    """→ (values uint64[n], bytes consumed)."""
+    # read the universe varint byte-by-byte
+    i = 0
+    u = 0
+    shift = 0
+    while True:
+        c = buf[i]; i += 1
+        u |= (c & 0x7F) << shift
+        shift += 7
+        if not c & 0x80:
+            break
+    l, high_bytes, low_bytes = _ef_params(u, n)
+    bits = np.unpackbits(np.frombuffer(buf[i:i + high_bytes],
+                                       dtype=np.uint8),
+                         bitorder="little")
+    ones = np.flatnonzero(bits)[:n].astype(np.int64)
+    high = (ones - np.arange(n, dtype=np.int64)).astype(np.uint64)
+    i += high_bytes
+    low = _unpack_bits(buf[i:i + low_bytes], n, l)
+    i += low_bytes
+    return (high << np.uint64(l)) | low, i
+
+
+def ef_encode_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                    dls: np.ndarray, range_base: int) -> bytes:
+    """EF twin of encode_block: ids as Elias-Fano offsets from
+    range_base, tf/dl as a varint tail; dense form identical to varint."""
+    flag, stream = _block_stream(doc_ids, tfs, dls, range_base)
+    if flag == FLAG_DENSE:
+        return bytes([flag]) + varint_encode(stream)
+    offs = (np.ascontiguousarray(doc_ids, dtype=np.int64)
+            - range_base).astype(np.uint64)
+    tail = np.concatenate([np.ascontiguousarray(tfs, dtype=np.uint64),
+                           np.ascontiguousarray(dls, dtype=np.uint64)])
+    return bytes([flag]) + ef_encode(offs) + varint_encode(tail)
+
+
+def ef_decode_block(payload: bytes, doc_count: int, range_base: int):
+    flag = payload[0]
+    if flag == FLAG_DENSE:
+        return _stream_to_block(varint_decode(payload[1:]), flag,
+                                doc_count, range_base)
+    if flag != FLAG_EXPLICIT:
+        raise ValueError(f"unknown block flag {flag}")
+    offs, consumed = ef_decode(payload[1:], doc_count)
+    ids = offs.astype(np.int64) + range_base
+    tail = varint_decode(payload[1 + consumed:])
+    if tail.shape[0] != 2 * doc_count:
+        raise ValueError(
+            f"corrupt ef block: {tail.shape[0]} tail values for "
+            f"doc_count={doc_count}")
+    return (ids, tail[:doc_count].astype(np.int64),
+            tail[doc_count:].astype(np.int64))
+
+
 def decode_block_v1(payload: bytes, doc_count: int, range_base: int):
     """Format-1 (pre-flag-byte) payloads: the whole payload is one
     varint stream in EXPLICIT layout (no dense form existed).  Kept so
@@ -358,7 +529,8 @@ def decode_block_v1(payload: bytes, doc_count: int, range_base: int):
 # would otherwise silently mis-decode).
 PAYLOAD_FORMAT = 2
 
-BLOCK_DECODERS = {"varint": decode_block, "pfor": pfor_decode_block}
+BLOCK_DECODERS = {"varint": decode_block, "pfor": pfor_decode_block,
+                  "ef": ef_decode_block}
 
 
 def block_decoder(codec: str, payload_format: int = PAYLOAD_FORMAT):

@@ -155,6 +155,91 @@ def bm25_topk_sql(query_terms: list[str], k: int = 10,
         f" ORDER BY score DESC, doc_id ASC LIMIT {k}")
 
 
+def tokens_pos(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) — position = index in the FILTERED token
+    stream (the indexed token sequence; short tokens are dropped before
+    numbering, so adjacency means 'adjacent among indexed tokens', the
+    only notion a positional index can offer).  Pure built-ins."""
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) >= MIN_TOKEN_LEN,
+    )
+    return docs.select(
+        "doc_id", F.posexplode(arr).alias("pos", "term"))
+
+
+# the same filtered-stream positions in DuckDB: enumerate the raw split
+# array (generate_series keeps original order), drop short tokens, then
+# re-number with row_number so positions match Spark's posexplode of the
+# filtered array
+TOKP_CTE = (
+    "WITH rawtok AS (SELECT doc_id, w[i] AS term, i FROM "
+    "(SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w"
+    " FROM documents), unnest(generate_series(1, length(w))) AS g(i)"
+    f" WHERE length(w[i]) >= {MIN_TOKEN_LEN}), "
+    "tokp AS (SELECT doc_id, term, ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id ORDER BY i) - 1 AS pos FROM rawtok)"
+)
+
+
+def phrase_topk(spark: SparkSession, sf_dir: str, phrase: list[str],
+                k: int = 10) -> DataFrame:
+    """Top-k BM25 over docs containing the EXACT phrase (tokens adjacent
+    in the indexed stream) — true QT_EXACT semantics (per-node query-type
+    payloads, reference/oscar-create/CellTextCompleter.h:457-473), not
+    the AND-of-tokens degeneration.  Scoring = Σ BM25 of the member
+    terms (phrase constrains membership, not the scoring formula).
+
+    Plan shape: n-1 self-equi-joins on (doc_id, pos+i) over the slim
+    (doc_id, pos) rows of each token — each join key includes doc_id, so
+    at scale it shuffles by doc and never fans out beyond per-doc
+    occurrence counts."""
+    docs = load_documents(spark, sf_dir)
+    tp = tokens_pos(docs)
+    match = (tp.filter(F.col("term") == phrase[0])
+             .select("doc_id", F.col("pos").alias("p0")))
+    for i, tok in enumerate(phrase[1:], start=1):
+        nxt = (tp.filter(F.col("term") == tok)
+               .select("doc_id", (F.col("pos") - i).alias("p0")))
+        match = match.join(nxt, ["doc_id", "p0"])
+    hits = match.select("doc_id").distinct()
+    scored = _scores(docs, phrase)
+    agg = (scored.join(hits, "doc_id")
+           .groupBy("doc_id")
+           .agg(F.round(F.sum("score"), SCORE_ROUND).alias("score")))
+    return (agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
+    joins = []
+    for i, tok in enumerate(phrase[1:], start=1):
+        joins.append(
+            f" JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id AND"
+            f" t{i}.pos = t0.pos + {i} AND t{i}.term = '{tok}'")
+    terms = ", ".join(f"'{t}'" for t in phrase)
+    score = bm25_sql("tf.tf", "dl.dl", "dfs.df", "stats.n", "stats.avgdl")
+    return (
+        TOKP_CTE +
+        ", hits AS (SELECT DISTINCT t0.doc_id FROM tokp t0" +
+        "".join(joins) + f" WHERE t0.term = '{phrase[0]}')" +
+        # re-derive the bm25 CTEs over the same corpus (TF_CTE body,
+        # reusing rawtok's filtered tokens as `tok`)
+        ", tok AS (SELECT doc_id, term FROM rawtok)"
+        ", tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok"
+        " GROUP BY doc_id, term)"
+        ", dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)"
+        ", stats AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS"
+        " DOUBLE) AS n, (SELECT SUM(dl) FROM dl) / CAST((SELECT COUNT(*)"
+        " FROM documents) AS DOUBLE) AS avgdl)"
+        ", dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)"
+        f" SELECT tf.doc_id AS doc_id, ROUND(SUM({score}), {SCORE_ROUND})"
+        " AS score FROM tf JOIN hits USING (doc_id) JOIN dl USING (doc_id)"
+        f" JOIN dfs USING (term) CROSS JOIN stats"
+        f" WHERE tf.term IN ({terms}) GROUP BY tf.doc_id"
+        f" ORDER BY score DESC, doc_id ASC LIMIT {k}")
+
+
 def set_op(spark: SparkSession, sf_dir: str, term_a: str, term_b: str,
            op: str) -> DataFrame:
     """Doc-id set algebra between two terms (§2.6: + / ' ' / - / ^)."""

@@ -23,13 +23,19 @@ class OracleIndex:
 
     def __init__(self, docs: list[tuple[int, str]]):
         self.postings: dict[str, dict[int, int]] = {}
+        # term → doc → positions in the FILTERED token stream (the same
+        # numbering the positional index and tokens_pos use: short
+        # tokens dropped BEFORE numbering)
+        self.positions: dict[str, dict[int, list[int]]] = {}
         self.doc_len: dict[int, int] = {}
         for doc_id, text in docs:
             toks = tokenize(text)
             self.doc_len[doc_id] = len(toks)
-            for t in toks:
+            for i, t in enumerate(toks):
                 self.postings.setdefault(t, {}).setdefault(doc_id, 0)
                 self.postings[t][doc_id] += 1
+                self.positions.setdefault(t, {}).setdefault(
+                    doc_id, []).append(i)
         self.n_docs = len(self.doc_len)
         total = sum(self.doc_len.values())
         self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
@@ -58,6 +64,8 @@ class OracleIndex:
             return set()
         if kind == "term":
             return set(self.postings.get(node[1], {}))
+        if kind == "phrase":
+            return self.phrase_docs(list(node[1]))
         if kind == "prefix":
             out: set[int] = set()
             for t in self.expand_prefix(node[1]):
@@ -78,6 +86,28 @@ class OracleIndex:
         if kind == "xor":
             return left ^ right
         raise ValueError(f"unknown node {kind}")
+
+    def phrase_docs(self, toks: list[str]) -> set[int]:
+        """Docs where toks appear ADJACENT in the filtered token stream
+        (QT_EXACT semantics)."""
+        if not toks:
+            return set()
+        cand = None
+        for t in toks:
+            d = set(self.positions.get(t, {}))
+            cand = d if cand is None else cand & d
+            if not cand:
+                return set()
+        out = set()
+        for doc in cand:
+            starts = set(self.positions[toks[0]][doc])
+            for i, t in enumerate(toks[1:], start=1):
+                starts &= {p - i for p in self.positions[t][doc]}
+                if not starts:
+                    break
+            if starts:
+                out.add(doc)
+        return out
 
     # --- scoring ---
     def score(self, doc_id: int, terms: list[str]) -> float:

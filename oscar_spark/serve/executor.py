@@ -52,11 +52,41 @@ _META_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
               "last_doc", "doc_count", "max_tf", "min_dl"]
 
 
+class _StageTimer:
+    """Per-query wall-clock split across serve stages — the analog of
+    the reference's cqr-calc / subSet / toGlobalIds / flaten breakdown
+    (reference/oscar-cmd/Benchmark.cpp:159-214): each mark() charges
+    the time since the previous mark to a named stage.  Stage
+    boundaries sit at Spark ACTIONS (collects), where lazy plan time
+    actually materializes."""
+
+    __slots__ = ("t", "_last")
+
+    def __init__(self):
+        import time
+        self.t: dict[str, float] = {}
+        self._last = time.time()
+
+    def mark(self, name: str) -> None:
+        import time
+        now = time.time()
+        self.t[name] = self.t.get(name, 0.0) + (now - self._last)
+        self._last = now
+
+
+SERVE_STAGES = ["parse", "expand", "term_lookup", "meta_prune",
+                "seed_score", "rest_score_topk"]
+
+
 def _tree_shape(node) -> str:
-    """'single' | 'and' | 'or' | 'general' — which strategies apply."""
+    """'single' | 'and' | 'or' | 'phrase' | 'general' — strategy pick.
+    A bare phrase gets its dedicated positional path; a phrase inside
+    any combinator drops to the general (set-algebra) path."""
     kind = node[0]
     if kind == "term":
         return "single"
+    if kind == "phrase":
+        return "phrase"
     if kind == "empty":
         return "empty"
     if kind in ("and", "or"):
@@ -100,6 +130,9 @@ class SearchEngine:
             fmt = 2 if self.store.get_meta("codec") is not None else 1
         self._decode = block_decoder(
             self.store.get_meta("codec", "varint"), int(fmt))
+        # positional payloads present → quoted queries get TRUE phrase
+        # semantics; otherwise they degrade to AND (see _rewrite_prefixes)
+        self.has_positions = bool(self.store.get_meta("positions", False))
         # A7 payload-dedup stores keep payloads in a side table keyed by
         # (bucket, md5); only the payload-FETCH path joins it — metadata
         # pruning stays join-free
@@ -119,6 +152,8 @@ class SearchEngine:
         self._term_df: dict[str, int] | None = None
         self._term_sorted: list[str] | None = None
         self._brute_cache: DataFrame | None = None
+        self._timer: _StageTimer | None = None
+        self.last_stage_times: dict[str, float] | None = None
         if self.terms.count() <= self.TERMS_PRELOAD_MAX:
             rows = self.terms.select("term", "df").collect()
             self._term_df = {r["term"]: int(r["df"]) for r in rows}
@@ -215,8 +250,18 @@ class SearchEngine:
 
     def _rewrite_prefixes(self, node):
         """AST → AST with prefix/suffix/substring leaves expanded to
-        OR-chains over dictionary terms."""
+        OR-chains over dictionary terms; on a store WITHOUT positional
+        payloads a phrase leaf degrades to the AND of its tokens (the
+        documented pre-positional behavior)."""
         kind = node[0]
+        if kind == "phrase":
+            if self.has_positions:
+                return node
+            out = None
+            for t in node[1]:
+                leaf = ("term", t)
+                out = leaf if out is None else ("and", out, leaf)
+            return out if out is not None else parser.EMPTY
         if kind in ("prefix", "suffix", "substr"):
             terms = (self.expand_prefix(node[1]) if kind == "prefix"
                      else self.expand_wild(kind, node[1]))
@@ -304,6 +349,87 @@ class SearchEngine:
         return blocks.groupBy("range_id").applyInPandas(
             lambda key, pdf: kernel(pdf), "doc_id long, score double")
 
+    # ---- phrase scoring (QT_EXACT: adjacency over positional payloads;
+    # per-node query-type payload analog of
+    # reference/oscar-create/CellTextCompleter.h:457-473) ----
+    def _score_phrase_ranges(self, toks: list[str],
+                             dfmap: dict[str, int],
+                             local_k: int | None) -> DataFrame:
+        """(doc_id, score) per range for docs containing the EXACT
+        phrase: per range, decode each member term's ids + positions,
+        intersect doc sets, verify adjacency (pos of tok_i == start+i),
+        score matched docs as Σ BM25 of the DISTINCT member terms.
+        Same distribution shape as _score_ranges: one applyInPandas per
+        range, local top-k cut, ≤k rows per range into the final sort."""
+        from oscar_spark.functions.codec import decode_position_block
+        n_docs, avgdl = float(self.n_docs), float(self.avgdl)
+        decode = self._decode
+        uniq = list(dict.fromkeys(toks))
+        blocks = self._blocks(uniq, meta_only=False).select(
+            "term", "range_id", "doc_count", "payload", "pos_payload")
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc: dict[str, list] = {t: [] for t in uniq}
+            for term, payload, posp, doc_count, range_id in zip(
+                    pdf["term"], pdf["payload"], pdf["pos_payload"],
+                    pdf["doc_count"], pdf["range_id"]):
+                ids, tfs, dls = decode(
+                    bytes(payload), int(doc_count),
+                    int(range_id) * RANGE_SIZE)
+                flat, offs = decode_position_block(bytes(posp), tfs)
+                acc[term].append((ids, tfs, dls, flat, offs))
+            empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "score": pd.array([], dtype="float64")})
+            if any(not acc[t] for t in uniq):
+                return empty
+            # per term: doc → positions (blocks of one term in one range
+            # are disjoint in doc_id)
+            tpos: dict[str, dict] = {}
+            tscore: dict[str, dict] = {}
+            for t in uniq:
+                posmap: dict = {}
+                scoremap: dict = {}
+                df_t = float(dfmap.get(t, 0))
+                for ids, tfs, dls, flat, offs in acc[t]:
+                    sc = bm25_np(tfs.astype(np.float64),
+                                 dls.astype(np.float64),
+                                 df_t, n_docs, avgdl)
+                    for j, d in enumerate(ids.tolist()):
+                        posmap[d] = flat[offs[j]:offs[j + 1]]
+                        scoremap[d] = sc[j]
+                tpos[t] = posmap
+                tscore[t] = scoremap
+            cand = set(tpos[uniq[0]])
+            for t in uniq[1:]:
+                cand &= set(tpos[t])
+            out_ids, out_sc = [], []
+            for d in cand:
+                starts = set(tpos[toks[0]][d].tolist())
+                for i, t in enumerate(toks[1:], start=1):
+                    starts &= {p - i for p in tpos[t][d].tolist()}
+                    if not starts:
+                        break
+                if starts:
+                    out_ids.append(d)
+                    out_sc.append(sum(tscore[t][d] for t in uniq))
+            if not out_ids:
+                return empty
+            ids_a = np.array(out_ids, dtype=np.int64)
+            sc_a = np.array(out_sc, dtype=np.float64)
+            if local_k is not None and len(ids_a) > local_k:
+                order = np.lexsort((ids_a, -sc_a))[:local_k]
+                ids_a, sc_a = ids_a[order], sc_a[order]
+            return pd.DataFrame({"doc_id": ids_a, "score": sc_a})
+
+        return blocks.groupBy("range_id").applyInPandas(
+            lambda key, pdf: kernel(pdf), "doc_id long, score double")
+
+    def _phrase_docs_df(self, toks: list[str],
+                        dfmap: dict[str, int]) -> DataFrame:
+        """Doc-id set containing the exact phrase (for set algebra)."""
+        return self._score_phrase_ranges(toks, dfmap, None) \
+            .select("doc_id")
+
     # ---- per-term decoded postings (for set algebra / general trees) ----
     def _decoded(self, terms: list[str], dfmap: dict[str, int]) -> DataFrame:
         """→ (term, doc_id, score) for every posting of the given terms."""
@@ -343,15 +469,18 @@ class SearchEngine:
             kernel, "term string, doc_id long, score double")
 
     # ---- set algebra on DataFrames (§2.6 mapping) ----
-    def _eval_node(self, node, decoded: DataFrame) -> DataFrame:
+    def _eval_node(self, node, decoded: DataFrame,
+                   dfmap: dict[str, int]) -> DataFrame:
         kind = node[0]
         if kind == "empty":
             return self.spark.range(0).select(F.col("id").alias("doc_id"))
         if kind == "term":
             return (decoded.filter(F.col("term") == node[1])
                     .select("doc_id"))
-        left = self._eval_node(node[1], decoded)
-        right = self._eval_node(node[2], decoded)
+        if kind == "phrase":
+            return self._phrase_docs_df(list(node[1]), dfmap)
+        left = self._eval_node(node[1], decoded, dfmap)
+        right = self._eval_node(node[2], decoded, dfmap)
         if kind == "and":
             return left.join(right, "doc_id", "inner").select("doc_id")
         if kind == "or":
@@ -369,11 +498,19 @@ class SearchEngine:
     # ---- public API ----
     def search_df(self, query: str, k: int = 10,
                   mode: str = "auto") -> DataFrame:
-        """→ DataFrame(doc_id long, score double), the top-k, ordered."""
+        """→ DataFrame(doc_id long, score double), the top-k, ordered.
+
+        Per-stage wall-clock lands in self.last_stage_times after the
+        RESULT is consumed (search() finalizes the last stage; a caller
+        collecting the DataFrame itself can call _finish_timer())."""
+        self._timer = _StageTimer()
         node = parser.parse(query)
+        self._timer.mark("parse")
         node = self._rewrite_prefixes(node)
+        self._timer.mark("expand")
         terms = parser.query_terms(node)
         dfmap = self.term_stats(terms)
+        self._timer.mark("term_lookup")
         shape = _tree_shape(node)
         # release the previous query's brute-path cache: a long-running
         # engine would otherwise accumulate one cached RDD per brute
@@ -383,8 +520,17 @@ class SearchEngine:
             [], "doc_id long, score double")
         if shape == "empty" or not terms:
             return empty
-        if shape == "and" and any(dfmap.get(t, 0) == 0 for t in terms):
+        if shape in ("and", "phrase") and \
+                any(dfmap.get(t, 0) == 0 for t in terms):
             return empty
+        if shape == "phrase":
+            # dedicated positional path: adjacency check + scoring in
+            # one decode pass, local top-k per range (only reachable
+            # when the store has positions — otherwise the rewrite
+            # already degraded the phrase to AND)
+            result = self._score_phrase_ranges(list(node[1]), dfmap, k)
+            return result.orderBy(F.desc("score"),
+                                  F.asc("doc_id")).limit(k)
         if mode == "auto":
             mode = "pruned" if shape in ("single", "and", "or") else "brute"
         # pruned AND all_ranges score the UNION of present terms — on a
@@ -409,7 +555,7 @@ class SearchEngine:
             decoded = self._decoded([t for t in terms if dfmap.get(t, 0) > 0],
                                     dfmap).cache()
             self._brute_cache = decoded
-            docs = self._eval_node(node, decoded)
+            docs = self._eval_node(node, decoded, dfmap)
             result = (decoded.join(docs, "doc_id")
                       .groupBy("doc_id").agg(F.sum("score").alias("score")))
         return result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -459,6 +605,8 @@ class SearchEngine:
         # candidate in a single job instead
         fetch_n = max(seed_n, 64)
         seed_rows = ranges.orderBy(F.desc("ub")).limit(fetch_n + 1).collect()
+        if self._timer:
+            self._timer.mark("meta_prune")
         if not seed_rows:
             return self.spark.createDataFrame([], "doc_id long, score double")
         exhausted = len(seed_rows) <= fetch_n  # every candidate range fetched
@@ -475,6 +623,8 @@ class SearchEngine:
             return seed_scored
         seed_top = seed_scored.orderBy(
             F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        if self._timer:
+            self._timer.mark("seed_score")
         theta = seed_top[k - 1]["score"] if len(seed_top) >= k else None
 
         rest = ranges.filter(~F.col("range_id").isin(seed_ids))
@@ -489,9 +639,18 @@ class SearchEngine:
             "doc_id long, score double")
         return rest_scored.unionByName(seed_df)
 
+    def _finish_timer(self) -> None:
+        if self._timer is not None:
+            self._timer.mark("rest_score_topk")
+            self.last_stage_times = {
+                s: round(self._timer.t.get(s, 0.0), 6)
+                for s in SERVE_STAGES}
+            self._timer = None
+
     def search(self, query: str, k: int = 10,
                mode: str = "auto") -> list[tuple[int, float]]:
         rows = self.search_df(query, k, mode).collect()
+        self._finish_timer()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def search_page(self, query: str, k: int = 10, offset: int = 0,

@@ -10,8 +10,10 @@ Grammar (pinned; shared verbatim by oracle and Spark executor):
         '^'         symmetric difference
     '(' ')'   grouping (unbalanced input tolerated: EOF closes, stray ')'
               ends the innermost group)
-    '"..."'   quoted exact multi-token → intersection of its tokens
-              (we index no positions; documented deviation from phrase)
+    '"..."'   quoted multi-token → PHRASE node (tokens adjacent in the
+              indexed stream — QT_EXACT analog; a single quoted token is
+              a plain term).  Engines without positional payloads
+              degrade a phrase to the intersection of its tokens.
     '\\'      escapes the next character into the current word (the
               reference escape set is `-+/\\^$[]() `,
               reference/oscar-cmd/CompletionStringCreators.cpp:6-15)
@@ -23,6 +25,7 @@ gets EMPTY as its left side (EMPTY∩x=∅, EMPTY∪x=x, EMPTY−x=∅, EMPTY⊕
 
 AST nodes (plain tuples, consumable by both evaluators):
     ("term", token)              ("empty",)
+    ("phrase", (tok1, tok2, ...))
     ("and"|"or"|"not"|"xor", left, right)
 """
 
@@ -134,7 +137,13 @@ def _parse_tokens(toks, pos: int, depth: int):
         t = toks[pos]
         kind = t[0]
         if kind == "word" or kind == "quoted":
-            sub = _terms_node(t[1], allow_prefix=(kind == "word"))
+            if kind == "quoted":
+                toks = tokenize(t[1])
+                # multi-token quote = phrase; single token = plain term
+                sub = (("phrase", tuple(toks)) if len(toks) > 1
+                       else ("term", toks[0]) if toks else EMPTY)
+            else:
+                sub = _terms_node(t[1], allow_prefix=True)
             if sub != EMPTY:
                 attach(sub)
             pos += 1
@@ -183,6 +192,9 @@ def query_terms(node, expand_prefix=None, expand_wild=None) -> list[str]:
     def walk(n):
         if n[0] == "term":
             add(n[1])
+        elif n[0] == "phrase":
+            for t in n[1]:
+                add(t)
         elif n[0] == "prefix":
             if expand_prefix is not None:
                 for t in expand_prefix(n[1]):

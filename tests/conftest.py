@@ -27,10 +27,14 @@ def pages_df(spark, pages_pdf):
 
 @pytest.fixture(scope="session")
 def built_index(spark, pages_df, tmp_path_factory):
-    """Build the index once for the whole session; returns (dir, result)."""
+    """Build the index once for the whole session; returns (dir, result).
+
+    Positional (positions=True) so quoted queries exercise TRUE phrase
+    semantics against the oracle; the non-positional path keeps its own
+    dedicated tests (and the bench builds without positions)."""
     from oscar_spark.build.indexer import build_index
     d = str(tmp_path_factory.mktemp("index"))
-    res = build_index(spark, pages_df, d)
+    res = build_index(spark, pages_df, d, positions=True)
     return d, res
 
 

@@ -193,8 +193,11 @@ def test_parser_shapes():
         ("or", ("term", "foo"), ("term", "bar"))
     assert parser.parse("foo - bar ^ baz") == \
         ("xor", ("not", ("term", "foo"), ("term", "bar")), ("term", "baz"))
-    assert parser.parse('"aa bb"') == parser.parse("aa bb") == \
-        parser.parse("aa-bb") == ("and", ("term", "aa"), ("term", "bb"))
+    # quoted multi-token is now a PHRASE node (round-3); unquoted and
+    # hyphenated forms remain the intersection of their tokens
+    assert parser.parse('"aa bb"') == ("phrase", ("aa", "bb"))
+    assert parser.parse("aa bb") == parser.parse("aa-bb") == \
+        ("and", ("term", "aa"), ("term", "bb"))
     assert parser.parse("-foo") == ("not", parser.EMPTY, ("term", "foo"))
 
 
@@ -290,3 +293,44 @@ def test_pfor_block_roundtrip(ids, seed):
     assert list(d_ids) == ids
     assert np.array_equal(d_tfs, tfs)
     assert np.array_equal(d_dls, dls)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=300, unique=True),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=50, deadline=None)
+def test_ef_block_roundtrip(ids, seed):
+    from oscar_spark.functions.codec import (ef_decode_block,
+                                             ef_encode_block)
+    ids = sorted(ids)
+    rng = np.random.RandomState(seed)
+    tfs = rng.randint(1, 50, size=len(ids))
+    dls = rng.randint(1, 500, size=len(ids))
+    base = min(ids) - (min(ids) % 8192)
+    payload = ef_encode_block(np.array(ids), tfs, dls, base)
+    d_ids, d_tfs, d_dls = ef_decode_block(payload, len(ids), base)
+    assert list(d_ids) == ids
+    assert np.array_equal(d_tfs, tfs)
+    assert np.array_equal(d_dls, dls)
+
+
+def test_ef_encode_runs_matches_per_block():
+    """encode_runs(codec='ef') slices == per-block ef_encode_block."""
+    from oscar_spark.functions.codec import ef_encode_block, encode_runs
+    rng = np.random.RandomState(3)
+    ids = np.sort(rng.choice(8192, 500, replace=False)).astype(np.int64)
+    terms = np.repeat(np.arange(2, dtype=np.int64), 250)
+    ids = np.concatenate([ids[:250], ids[:250]])
+    tfs = rng.randint(1, 9, 500).astype(np.int64)
+    dls = rng.randint(5, 99, 500).astype(np.int64)
+    res = encode_runs(terms, np.zeros(500, dtype=np.int64), ids, tfs,
+                      dls, 128, 8192, codec="ef")
+    off = 0
+    for i, p in enumerate(res["payload"]):
+        c = int(res["doc_count"][i])
+        expect = ef_encode_block(ids[off:off + c], tfs[off:off + c],
+                                 dls[off:off + c], 0)
+        assert p == expect, i
+        off += c

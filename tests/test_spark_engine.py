@@ -342,3 +342,20 @@ def test_pfor_codec_end_to_end(spark, pages_df, oracle, tmp_path):
         expected = oracle.search(q, k=10)
         got = eng.search(q, k=10)
         assert [x for x, _ in got] == [x for x, _ in expected]
+
+
+def test_ef_codec_end_to_end(spark, pages_df, oracle, tmp_path):
+    """Build with the Elias-Fano codec flag (third codec rung, analog
+    of reference/data/configs/oscar-create/index_eliasfano.json):
+    manifest records it, serve dispatches on it, results stay
+    rank-identical to the oracle."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.sources.tables import IndexStore
+    d = str(tmp_path / "ef_idx")
+    build_index(spark, pages_df, d, codec="ef")
+    assert IndexStore(d).get_meta("codec") == "ef"
+    eng = SearchEngine(spark, d)
+    for q in ["the", "city + state", "war history world", "wd0042"]:
+        expected = oracle.search(q, k=10)
+        got = eng.search(q, k=10)
+        assert [x for x, _ in got] == [x for x, _ in expected]
