@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the indexed stream, not AND-of-tokens
         "fts_phrase": lambda s, d: fts.phrase_topk(
             s, d, ["order", "scan"], k=10),
+        # fielded composite token (`lang:en`, TextSearchTraits.h:108)
+        "fts_fielded": lambda s, d: fts.fielded_topk(
+            s, d, ["data"], "lang", "en", k=10),
         "fts_facet_stats": lambda s, d: fts.facet_stats(s, d, "data"),
         "fts_facet_entropy": lambda s, d: fts.facet_entropy(s, d, "data"),
         # shannonKvstats exclusion-set parity (Workfunctions.cpp:171-233)
@@ -125,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_set_xor": fts.set_op_sql(SET_A, SET_B, "xor"),
         "fts_prefix": fts.prefix_search_sql("qu"),
         "fts_phrase": fts.phrase_topk_sql(["order", "scan"], 10),
+        "fts_fielded": fts.fielded_topk_sql(["data"], "lang", "en", 10),
         "fts_facet_stats": fts.facet_stats_sql("data"),
         "fts_facet_entropy": fts.facet_entropy_sql("data"),
         "fts_facet_entropy_excl": fts.facet_entropy_sql(

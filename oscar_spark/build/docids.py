@@ -60,11 +60,14 @@ def assign_doc_ids_ranged(doc_lens: DataFrame,
     # would otherwise each draw their OWN boundaries — overlapping /
     # gapped offsets and duplicate doc_ids (caught by the strict-monotone
     # block invariant at 40k docs).  localCheckpoint materializes the
-    # ranged partitions once; both jobs read the same layout.  (Real
-    # cluster: a reliable checkpoint dir / the committed Iceberg
-    # partition manifest plays this role — executor loss must not
-    # re-sample.)
-    ranged = ranged.localCheckpoint(eager=True)
+    # ranged partitions once; both jobs read the same layout.  LAZY
+    # (eager=False): the manifest collect below is the first action, so
+    # checkpoint materialization rides on a job that must run anyway —
+    # eager=True cost one extra whole job launch (~0.2-1.5s fixed), a
+    # direct N→4N efficiency tax at bench scale.  (Real cluster: a
+    # reliable checkpoint dir / the committed Iceberg partition manifest
+    # plays this role — executor loss must not re-sample.)
+    ranged = ranged.localCheckpoint(eager=False)
     # the committed partition manifest: pid → row count (tiny collect)
     aggs = [F.count("*").alias("n")]
     if stats_col is not None:

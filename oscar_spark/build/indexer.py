@@ -90,10 +90,16 @@ FINAL_BLOCKS_SCHEMA = (
 
 
 def _tokenize_batches(batches: Iterator[pd.DataFrame],
-                      with_positions: bool = False) -> Iterator[pd.DataFrame]:
-    """(url, text) batches → (url, term, tf, dl[, pos]) with per-doc tf
-    combine; with_positions adds each (doc, term)'s occurrence-position
-    list (int32, strictly increasing).
+                      with_positions: bool = False,
+                      field_cols: tuple[str, ...] = ()) -> Iterator[pd.DataFrame]:
+    """(url, text[, fields…]) batches → (url, term, tf, dl[, pos]) with
+    per-doc tf combine; with_positions adds each (doc, term)'s
+    occurrence-position list (int32, strictly increasing); field_cols
+    additionally emits one composite `key:value` token per doc per
+    field (tf=1, position FIELD_POS_BASE+j) — the @key:value fielded
+    terms of reference/oscar-create/TextSearchTraits.h:108, yielded as
+    a separate small batch so the main path keeps its Arrow dictionary
+    encoding.
 
     Arrow-native end to end: tokenize_flat keeps every token occurrence
     in Arrow C++ memory (dictionary codes), the per-(doc, term) tf
@@ -154,6 +160,24 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame],
                 plists += [np.empty(0, dtype="int32")] * len(empty_idx)
             out["pos"] = plists
         yield pd.DataFrame(out)
+        if field_cols and len(pdf):
+            from oscar_spark.config import FIELD_POS_BASE
+            from oscar_spark.functions.tokenize import normalize_field_series
+            for j, fc in enumerate(field_cols):
+                vals = normalize_field_series(pdf[fc].astype("string"))
+                keep = vals.fillna("").str.len() > 0  # null/empty: no token
+                km = keep.to_numpy()
+                frow = {
+                    "url": pd.Categorical.from_codes(ucodes[km],
+                                                     categories=ucats),
+                    "term": (fc + ":" + vals[keep]).to_numpy(dtype=object),
+                    "tf": np.ones(int(km.sum()), dtype="int32"),
+                    "dl": counts[km].astype("int32"),
+                }
+                if with_positions:
+                    fpos = np.array([FIELD_POS_BASE + j], dtype="int32")
+                    frow["pos"] = [fpos] * int(km.sum())
+                yield pd.DataFrame(frow)
 
 
 def _encode_run(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
@@ -439,6 +463,25 @@ class BuildResult:
     stage_secs: dict | None = None
 
 
+def prewarm_workers(spark: SparkSession) -> None:
+    """Pay each Python UDF worker's one-time interpreter spawn +
+    pandas/numpy/pyarrow/oscar_spark import (~1.5s) OUTSIDE any timed
+    or latency-sensitive region — the warm task performs the REAL
+    imports the build kernels use.  A standing cluster's executors keep
+    warm workers; a fresh local JVM does not."""
+    cores = spark.sparkContext.defaultParallelism
+
+    def _warm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.compute  # noqa: F401
+        from oscar_spark.build import indexer  # noqa: F401
+        from oscar_spark.functions.tokenize import _pin_arrow_threads
+        _pin_arrow_threads()
+        yield from it
+
+    (spark.range(cores * 4, numPartitions=cores * 4)
+     .mapInPandas(_warm, "id long").count())
+
+
 def extract_pages(pages: DataFrame) -> DataFrame:
     """html → text via the pinned extractor (vectorized); byte-identity
     with an existing `text` column is a test invariant, not assumed."""
@@ -503,7 +546,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 resume: bool = False,
                 codec: str | None = None,
                 dedup_payloads: bool = False,
-                positions: bool = False) -> BuildResult:
+                positions: bool = False,
+                fields: tuple[str, ...] = ()) -> BuildResult:
     """Build the full index (doc_stats, terms, postings, lineage).
 
     codec: posting payload codec ("varint" | "pfor" | "ef"); defaults
@@ -516,7 +560,11 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     side column (QT_EXACT support: quoted queries become TRUE phrase
     queries in serve instead of AND-of-tokens).  Costs ~Σtf extra
     varints through the shuffle and on disk — the inherent positional-
-    index tax; recorded in the manifest, appends inherit it."""
+    index tax; recorded in the manifest, appends inherit it.
+    fields: page columns to index as `key:value` composite tokens
+    (tf=1 per doc; the @key:value fielded terms of
+    reference/oscar-create/TextSearchTraits.h:108) — `lang:en` then
+    works as a query leaf; recorded in the manifest, appends inherit."""
     from oscar_spark.config import POSTINGS_CODEC
     codec = codec or POSTINGS_CODEC
     t0 = time.time()
@@ -554,10 +602,13 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         cur = input_files_sig(raw_pages)
         if (recorded and cur and len(cur) > len(recorded)
                 and not store.committed(
-                    "postings", f"{fp}|codec={codec}|pos={int(positions)}")
+                    "postings",
+                    f"{fp}|codec={codec}|pos={int(positions)}"
+                    f"|f={','.join(fields)}")
                 and store.get_meta("codec", codec) == codec
-                # a positional flag flip means a rebuild, not an append
+                # a positional/fielded flag flip means a rebuild
                 and store.get_meta("positions", False) == positions
+                and store.get_meta("fields", []) == list(fields)
                 # payload-dedup stores append fine (the new segment's
                 # payloads anti-join the committed payloads table, A7×S6,
                 # re-dedup-on-reimport analog of reference/oscar-create/
@@ -579,12 +630,14 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     # inverted N→4N scaling.  A parquet checkpoint makes the cost flat,
     # disk-backed, fully parallel, and doubles as a resume snapshot
     # (store→store re-import, reference/oscar-create/oscarcreate.cpp:86-116).
-    tfp = f"{fp}|pos={int(positions)}"
+    ffp = ",".join(fields)
+    tfp = f"{fp}|pos={int(positions)}|f={ffp}"
     if resume and store.committed("tokens", tfp):
         resumed.append("tokens")
     else:
-        store.write(pages.select("url", "text").mapInPandas(
-            lambda it, _p=positions: _tokenize_batches(it, _p),
+        store.write(pages.select("url", "text", *fields).mapInPandas(
+            lambda it, _p=positions, _f=fields:
+                _tokenize_batches(it, _p, _f),
             TOKENS_POS_SCHEMA if positions else TOKENS_SCHEMA), "tokens")
         store.commit("tokens", tfp)
     _mark("tokens")
@@ -606,10 +659,13 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         # boundary-sample job and the partition-pinning checkpoint inside
         # assign_doc_ids_ranged would otherwise EACH re-execute the full
         # tokens scan + groupBy lineage (two extra corpus scans measured
-        # as most of this stage's wall time).  ~one short row per doc;
-        # distributed MEMORY_AND_DISK — on a real cluster a reliable
-        # checkpoint dir / Iceberg staging table plays this role.
-        doc_lens = doc_lens.localCheckpoint(eager=True)
+        # as most of this stage's wall time).  LAZY: the boundary-sample
+        # job inside assign_doc_ids_ranged is the first consumer and
+        # doubles as the materializing action — eager=True paid one
+        # extra job launch.  ~one short row per doc; distributed
+        # MEMORY_AND_DISK — on a real cluster a reliable checkpoint dir
+        # / Iceberg staging table plays this role.
+        doc_lens = doc_lens.localCheckpoint(eager=False)
         # corpus stats (n_docs, Σdl) ride along on the docID manifest
         # collect — no separate aggregation job — and persist in the
         # manifest so later stages, resumes, and serve startup never
@@ -637,7 +693,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     # codec folded into the stage fingerprint: resume over an index
     # committed with a DIFFERENT codec must rebuild, not silently keep
     # the old payloads under the new codec label
-    pfp = f"{fp}|codec={codec}|pos={int(positions)}"
+    pfp = f"{fp}|codec={codec}|pos={int(positions)}|f={ffp}"
     if resume and store.committed("postings", pfp):
         resumed.append("postings")
     else:
@@ -678,6 +734,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         store.set_meta("codec", codec)
         store.set_meta("payload_format", PAYLOAD_FORMAT)
         store.set_meta("positions", positions)
+        store.set_meta("fields", list(fields))
         store.commit("postings", pfp)
     _mark("postings")
     postings = store.read(spark, "postings")
@@ -765,12 +822,14 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     n_old = int(store.get_meta("n_docs"))
     avgdl_old = float(store.get_meta("avgdl"))
     positions = bool(store.get_meta("positions", False))
+    fields = tuple(store.get_meta("fields", ()) or ())
 
-    # ---- tokenize only the new pages (positional stores stay
-    # positional: the flag is inherited from the manifest) ----
+    # ---- tokenize only the new pages (positional/fielded stores stay
+    # that way: the flags are inherited from the manifest) ----
     store.write_segment(
-        new_pages.select("url", "text").mapInPandas(
-            lambda it, _p=positions: _tokenize_batches(it, _p),
+        new_pages.select("url", "text", *fields).mapInPandas(
+            lambda it, _p=positions, _f=fields:
+                _tokenize_batches(it, _p, _f),
             TOKENS_POS_SCHEMA if positions else TOKENS_SCHEMA),
         "tokens", seg)
     mark("tokens_append")
@@ -787,7 +846,7 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
                 .join(store.read(spark, "doc_stats").select("url"),
                       "url", "left_anti")
                 .withColumn("quality", F.col("doc_len").cast("double"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     assigned, stats = assign_doc_ids_ranged(
         doc_lens,
         num_partitions=max(spark.sparkContext.defaultParallelism, 8),
@@ -819,7 +878,36 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
                                  F.coalesce(F.col("_ob"), F.lit(0)))
                     .cast("int"))
         .select(*fcols))
-    store.write_segment(final_new, "postings", seg, partition_by=["bucket"])
+    if store.get_meta("payload_dedup", False):
+        # A7 × S6: dedup-aware segment merge (the round-2 gap — dedup
+        # stores used to bail to a full rebuild).  Hash the NEW
+        # segment's payloads, keep only those absent from the committed
+        # payloads table (anti-join on (bucket, md5) — the re-dedup-on-
+        # reimport analog of reference/oscar-create/
+        # oscarcreate.cpp:100-115), and write postings without payload
+        # bytes, same layout as the base build's dedup form.
+        import shutil
+        fb = final_new.withColumn("payload_hash", F.md5("payload"))
+        store.write_segment(fb, "_postings_staged", seg)
+        staged = store.read_segment(spark, "_postings_staged", seg)
+        committed_p = store.read(spark, "payloads") \
+            .select("bucket", "payload_hash")
+        novel = (staged.select("bucket", "payload_hash", "payload")
+                 .dropDuplicates(["bucket", "payload_hash"])
+                 .join(committed_p, ["bucket", "payload_hash"],
+                       "left_anti"))
+        store.write_segment(novel, "payloads", seg,
+                            partition_by=["bucket"])
+        store.write_segment(staged.drop("payload"), "postings", seg,
+                            partition_by=["bucket"])
+        shutil.rmtree(store.path("_postings_staged"), ignore_errors=True)
+        seg_adds = {"tokens": [seg], "doc_stats": [seg],
+                    "postings": [seg], "payloads": [seg]}
+    else:
+        store.write_segment(final_new, "postings", seg,
+                            partition_by=["bucket"])
+        seg_adds = {"tokens": [seg], "doc_stats": [seg],
+                    "postings": [seg]}
     mark("postings_append")
 
     # ---- merged terms: old + new df/n_blocks, written as a NEW segment
@@ -840,11 +928,11 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     mark("terms_append")
 
     # ---- ONE atomic snapshot commit (fingerprint scheme matches
-    # build_index's, incl. the positional flag) ----
-    tfp = f"{fp}|pos={int(positions)}"
-    pfp = f"{fp}|codec={codec}|pos={int(positions)}"
+    # build_index's, incl. the positional/fielded flags) ----
+    tfp = f"{fp}|pos={int(positions)}|f={','.join(fields)}"
+    pfp = f"{fp}|codec={codec}|pos={int(positions)}|f={','.join(fields)}"
     store.commit_append(
-        add={"tokens": [seg], "doc_stats": [seg], "postings": [seg]},
+        add=seg_adds,
         replace={"terms": [seg], "terms_rev": [seg],
                  "terms_ngram": [seg]},
         meta={"n_docs": n_total, "avgdl": avgdl_total, "codec": codec,

@@ -63,8 +63,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app=f"oscar-{args.cmd}")
 
     if args.cmd == "build":
-        from oscar_spark.build.indexer import build_index
+        from oscar_spark.build.indexer import build_index, prewarm_workers
         pages = spark.read.parquet(args.pages)
+        # pay the per-worker interpreter/import cost (~1.5s/core) before
+        # the build, like a standing cluster's warm executors — this was
+        # previously only in the bench child, not the production path
+        prewarm_workers(spark)
         res = build_index(spark, pages, args.index, resume=args.resume)
         print(json.dumps({
             "n_docs": res.n_docs, "n_terms": res.n_terms,

@@ -57,6 +57,13 @@ SCORE_ROUND: int = 4           # decimals when hashing/comparing scores
 FIXTURE_SEED: int = 42
 VOCAB_SIZE: int = 5000
 
+# --- fielded terms (@key:value composite tokens,
+#     reference/oscar-create/TextSearchTraits.h:108) ---
+# fielded tokens get one synthetic position far past any text position
+# (text positions are < dl), so a phrase can never spuriously bridge
+# from the last text token into a field token
+FIELD_POS_BASE: int = 1 << 30
+
 # --- prefix queries (QT_PREFIX analog) ---
 # expansion rule pinned for rank-identity: all index terms with the
 # stem prefix, sorted lexicographically, capped at this many terms

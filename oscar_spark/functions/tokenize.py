@@ -70,6 +70,22 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return _normalize_series(texts).str.findall(_TOKEN_RE)
 
 
+def normalize_field_value(v: str) -> str:
+    """Pinned normalization for the key/value parts of a fielded
+    `key:value` token (TextSearchTraits.h:108 analog): lower + NFKD
+    strip, then non-alnum runs collapse to '-', trimmed — shared by
+    build, parser, and oracle so 'en-US' indexes and queries as
+    'en-us'."""
+    return re.sub("[^a-z0-9]+", "-", normalize(v or "")).strip("-")
+
+
+def normalize_field_series(vals: pd.Series) -> pd.Series:
+    """Vectorized twin of normalize_field_value."""
+    return (_normalize_series(vals)
+            .str.replace("[^a-z0-9]+", "-", regex=True)
+            .str.strip("-"))
+
+
 _ARROW_PINNED = False
 
 

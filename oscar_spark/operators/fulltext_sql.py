@@ -240,6 +240,59 @@ def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
         f" ORDER BY score DESC, doc_id ASC LIMIT {k}")
 
 
+def fielded_topk(spark: SparkSession, sf_dir: str,
+                 query_terms: list[str], field_key: str, field_val: str,
+                 k: int = 10) -> DataFrame:
+    """BM25 top-k over docs matching ALL text terms AND the fielded
+    `key:value` token (TextSearchTraits.h:108 analog).  The fielded
+    token scores as a tf=1 posting whose df is the value's doc count —
+    exactly the indexed engine's fielded semantics, expressed
+    declaratively so DuckDB can replicate it value-for-value."""
+    docs = load_documents(spark, sf_dir)
+    scored = _scores(docs, query_terms)
+    agg = (scored.groupBy("doc_id")
+           .agg(F.sum("score").alias("ts"),
+                F.count("*").alias("nm"),
+                F.first("dl").alias("dl"),
+                F.first("n").alias("n"),
+                F.first("avgdl").alias("avgdl"))
+           .filter(F.col("nm") == len(query_terms)))
+    fdocs = docs.filter(F.col(field_key) == field_val).select("doc_id")
+    fstat = docs.agg(
+        F.sum(F.when(F.col(field_key) == field_val, 1).otherwise(0))
+        .cast("double").alias("fdf"))
+    return (agg.join(fdocs, "doc_id")
+            .crossJoin(F.broadcast(fstat))
+            .withColumn("score", F.round(
+                F.col("ts") + F.expr(bm25_sql(
+                    "1.0", "dl", "fdf", "n", "avgdl")), SCORE_ROUND))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def fielded_topk_sql(query_terms: list[str], field_key: str,
+                     field_val: str, k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    score = bm25_sql("tf.tf", "dl.dl", "dfs.df", "stats.n", "stats.avgdl")
+    fscore = bm25_sql("1.0", "t.dl", "fstat.fdf", "stats.n",
+                      "stats.avgdl")
+    return (
+        TF_CTE +
+        f", fdocs AS (SELECT doc_id FROM documents"
+        f" WHERE {field_key} = '{field_val}')"
+        ", fstat AS (SELECT CAST(COUNT(*) AS DOUBLE) AS fdf FROM fdocs)"
+        f", t AS (SELECT tf.doc_id AS doc_id, SUM({score}) AS ts,"
+        " COUNT(*) AS nm, MAX(dl.dl) AS dl FROM tf JOIN dl USING (doc_id)"
+        " JOIN dfs USING (term) CROSS JOIN stats"
+        f" WHERE tf.term IN ({terms}) GROUP BY tf.doc_id"
+        f" HAVING COUNT(*) = {len(query_terms)})"
+        f" SELECT t.doc_id AS doc_id, ROUND(t.ts + {fscore},"
+        f" {SCORE_ROUND}) AS score"
+        " FROM t JOIN fdocs USING (doc_id) CROSS JOIN fstat"
+        " CROSS JOIN stats"
+        f" ORDER BY score DESC, doc_id ASC LIMIT {k}")
+
+
 def set_op(spark: SparkSession, sf_dir: str, term_a: str, term_b: str,
            op: str) -> DataFrame:
     """Doc-id set algebra between two terms (§2.6: + / ' ' / - / ^)."""

@@ -21,7 +21,12 @@ from oscar_spark.serve import parser
 class OracleIndex:
     """In-memory inverted index + BM25 scorer over (doc_id, text) pairs."""
 
-    def __init__(self, docs: list[tuple[int, str]]):
+    def __init__(self, docs: list[tuple[int, str]],
+                 fields: dict[int, dict[str, str]] | None = None):
+        """docs: (doc_id, text) pairs; fields (optional): doc_id →
+        ordered {key: value} indexed as `key:value` composite tokens
+        (tf=1, synthetic position FIELD_POS_BASE+j, NOT counted in
+        doc_len — matching the Spark build's fielded tokens)."""
         self.postings: dict[str, dict[int, int]] = {}
         # term → doc → positions in the FILTERED token stream (the same
         # numbering the positional index and tokens_pos use: short
@@ -36,6 +41,19 @@ class OracleIndex:
                 self.postings[t][doc_id] += 1
                 self.positions.setdefault(t, {}).setdefault(
                     doc_id, []).append(i)
+        if fields:
+            from oscar_spark.config import FIELD_POS_BASE
+            from oscar_spark.functions.tokenize import normalize_field_value
+            for doc_id, kv in fields.items():
+                for j, (k, v) in enumerate(kv.items()):
+                    kn = normalize_field_value(k)
+                    vn = normalize_field_value(v)
+                    if not (kn and vn):
+                        continue
+                    t = f"{kn}:{vn}"
+                    self.postings.setdefault(t, {})[doc_id] = 1
+                    self.positions.setdefault(t, {})[doc_id] = \
+                        [FIELD_POS_BASE + j]
         self.n_docs = len(self.doc_len)
         total = sum(self.doc_len.values())
         self.avgdl = (total / self.n_docs) if self.n_docs else 0.0

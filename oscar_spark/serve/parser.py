@@ -104,6 +104,18 @@ def _terms_node(text: str, allow_prefix: bool = True):
     (reference/oscar-create/CellTextCompleter.h:602-637).  Stars in
     other positions are treated as token separators.
     """
+    # fielded composite leaf (`lang:en` or `@lang:en`,
+    # reference/oscar-create/TextSearchTraits.h:108): both halves
+    # normalize under the pinned field rule and become ONE dictionary
+    # term containing ':' — which the text tokenizer can never emit,
+    # so fielded and text terms cannot collide
+    if ":" in text and "*" not in text:
+        from oscar_spark.functions.tokenize import normalize_field_value
+        k, _, v = text.partition(":")
+        kn = normalize_field_value(k.lstrip("@"))
+        vn = normalize_field_value(v)
+        if kn and vn:
+            return ("term", f"{kn}:{vn}")
     trail = allow_prefix and text.endswith("*") and len(text) > 1
     lead = allow_prefix and text.startswith("*") and len(text) > 1
     toks = tokenize(text)

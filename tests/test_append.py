@@ -255,3 +255,66 @@ def test_append_block_invariants(spark, appended):
         per_term.setdefault(r["term"], []).append(int(r["block_id"]))
     for t, bids in per_term.items():
         assert sorted(bids) == list(range(len(bids))), t
+
+
+def test_append_to_payload_dedup_store(spark, tmp_path):
+    """A7 × S6: appending to a payload-dedup store merges segment
+    payloads via anti-join (no rebuild), keeps (bucket, md5) unique
+    store-wide, leaves every posting's payload resolvable, and stays
+    rank-identical to a full-corpus oracle."""
+    import pyspark.sql.functions as F
+
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.oracle.engine import OracleIndex
+    from oscar_spark.serve.executor import SearchEngine
+    from oscar_spark.sources.tables import IndexStore
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pdf = generate_pages(180)
+    _write_pages_file(pdf.iloc[:120], str(pdir / "part-0.parquet"))
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.read.parquet(str(pdir)), d,
+                dedup_payloads=True)
+    store = IndexStore(d)
+    assert store.get_meta("payload_dedup") is True
+
+    _write_pages_file(pdf.iloc[120:], str(pdir / "part-1.parquet"))
+    res = build_index(spark, spark.read.parquet(str(pdir)), d,
+                      resume=True, dedup_payloads=True)
+    # appended, NOT rebuilt
+    assert res.resumed_stages and \
+        res.resumed_stages[0].startswith("append:")
+    assert res.n_docs == 180
+    assert "payloads" in store.manifest()["segments"]
+    assert len(store.segments("payloads")) == 2
+
+    # store-wide payload invariants
+    payloads = store.read(spark, "payloads")
+    n_all = payloads.count()
+    n_uniq = payloads.select("bucket", "payload_hash").distinct().count()
+    assert n_all == n_uniq
+    postings = store.read(spark, "postings")
+    assert "payload" not in postings.columns
+    dangling = (postings.select("bucket", "payload_hash")
+                .join(payloads.select("bucket", "payload_hash"),
+                      ["bucket", "payload_hash"], "left_anti").count())
+    assert dangling == 0
+    # the anti-join actually deduplicated something across segments
+    # (Zipf tail: identical single-posting payloads recur in new docs)
+    n_blocks = postings.count()
+    assert n_all < n_blocks
+
+    # rank identity vs 180-doc oracle through the dedup payload join
+    ds = {r["url"]: r["doc_id"]
+          for r in store.read(spark, "doc_stats").collect()}
+    oracle = OracleIndex([(int(ds[u]), t)
+                          for u, t in zip(pdf["url"], pdf["text"])])
+    eng = SearchEngine(spark, d)
+    for q in APPEND_QUERIES:
+        got = eng.search(q, k=10)
+        exp = oracle.search(q, k=10)
+        assert [x for x, _ in got] == [x for x, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND), q

@@ -195,3 +195,52 @@ def test_positional_append_stays_positional(spark, tmp_path):
         got = eng.search(q, k=10)
         exp = oracle.search(q, k=10)
         assert [dd for dd, _ in got] == [dd for dd, _ in exp], q
+
+
+# ---- fielded terms (@key:value, TextSearchTraits.h:108 analog) ----
+
+def test_fielded_parser_leaf():
+    assert parser.parse("lang:en") == ("term", "lang:en")
+    assert parser.parse("@lang:en") == ("term", "lang:en")
+    assert parser.parse("lang:en-US") == ("term", "lang:en-us")
+    assert parser.parse("data lang:en") == \
+        ("and", ("term", "data"), ("term", "lang:en"))
+
+
+def test_fielded_engine_rank_identity(spark, tmp_path):
+    """Index built with fields=('lang',): `lang:xx` works as a query
+    leaf with df = value doc count, rank-identical to the oracle, and
+    never collides with text terms."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import generate_pages, pages_spark_df
+    from oscar_spark.oracle.engine import OracleIndex
+    from oscar_spark.serve.executor import SearchEngine
+    from oscar_spark.sources.tables import IndexStore
+
+    d = str(tmp_path / "fidx")
+    build_index(spark, pages_spark_df(spark, 200), d,
+                positions=True, fields=("lang",))
+    store = IndexStore(d)
+    assert store.get_meta("fields") == ["lang"]
+    pdf = generate_pages(200)
+    ds = {r["url"]: r["doc_id"]
+          for r in store.read(spark, "doc_stats").collect()}
+    oracle = OracleIndex(
+        [(int(ds[u]), t) for u, t in zip(pdf["url"], pdf["text"])],
+        fields={int(ds[u]): {"lang": lg}
+                for u, lg in zip(pdf["url"], pdf["lang"])})
+    eng = SearchEngine(spark, d)
+    langs = sorted(set(pdf["lang"]))
+    # df(lang:x) == value doc count
+    for lg in langs:
+        n = int((pdf["lang"] == lg).sum())
+        assert eng.term_stats([f"lang:{lg}"]).get(f"lang:{lg}") == n
+        assert oracle.df(f"lang:{lg}") == n
+    for q in (f"lang:{langs[0]}", f"the lang:{langs[0]}",
+              f"war + lang:{langs[-1]}", f"city - lang:{langs[0]}",
+              f"@lang:{langs[0]} state"):
+        got = eng.search(q, k=10)
+        exp = oracle.search(q, k=10)
+        assert [x for x, _ in got] == [x for x, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND), q
