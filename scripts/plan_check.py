@@ -109,6 +109,28 @@ def main() -> int:
                           r"Window.*partitionBy|windowspecdefinition\(bucket"],
               expect_none=[r"Exchange SinglePartition"])
 
+        # 8. positional build: positions ride the SAME single shuffle —
+        # no extra exchange, still no single-partition stage
+        fbp = _final_blocks(spark, st.read(spark, "tokens")
+                            .withColumn("pos", F.array().cast("array<int>")),
+                            st.read(spark, "doc_stats"),
+                            300, 300, 50.0, "varint", positions=True)
+        check("positional build pipeline (positions add no exchange)",
+              fbp,
+              expect_all=[r"ArrowEvalPython|MapInPandas|mapInPandas"],
+              expect_none=[r"Exchange SinglePartition"])
+
+        # 9. IVF probe fetch over a materialized index is a
+        # cid-partition-pruned read (the 10^12-vector serve path)
+        from oscar_spark.operators import similarity
+        ivf_dir = os.path.join(d, "ivf")
+        similarity.ivf_build(spark, SF, ivf_dir, stride=32)
+        probe = spark.read.parquet(os.path.join(ivf_dir, "assign")) \
+            .filter(F.col("cid").isin([0, 32]))
+        check("ivf probe fetch (cid partition pruning)",
+              probe,
+              expect_all=[r"PartitionFilters: \[.*cid"])
+
     n_fail = sum(1 for _, ok in checks if not ok)
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
