@@ -157,6 +157,7 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
         if w < build_sec:
             build_sec, best_stages = w, res.stage_secs
     out_dir = f"{out_dir}_r{attempts - 1}"
+    from oscar_spark.serve.executor import SERVE_STAGES
     eng = SearchEngine(spark, out_dir)
     latencies = []
     for q in SERVE_QUERIES:
@@ -166,7 +167,10 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
         t0 = time.time()
         rows = eng.search(q, k=10)
         hot = time.time() - t0   # warm (second) run counts, like Benchmark.cpp:158
-        latencies.append((q, round(warm, 4), round(hot, 4), len(rows)))
+        st = eng.last_stage_times or {}
+        latencies.append((q, round(warm, 4), round(hot, 4), len(rows),
+                          *(round(st.get(s, 0.0), 4)
+                            for s in SERVE_STAGES)))
     spark.stop()
     return {
         "cores": cores,
@@ -389,12 +393,14 @@ def main() -> None:
     print("measuring hardware scaling ceiling ...", file=sys.stderr)
     ceiling = hw_ceiling(args.n)
 
+    from oscar_spark.serve.executor import SERVE_STAGES
     with open("BENCH/serve_latency.csv", "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["cores", "query", "cold_sec", "warm_sec", "rows"])
+        w.writerow(["cores", "query", "cold_sec", "warm_sec", "rows",
+                    *SERVE_STAGES])
         for r in results:
-            for q, cold, warm, n in r["latencies"]:
-                w.writerow([r["cores"], q, cold, warm, n])
+            for row in r["latencies"]:
+                w.writerow([r["cores"], *row])
 
     hot_n = [x[2] for x in r_4n["latencies"]]
     md = f"""# BENCH/BASELINE — measured numbers (sandbox: one machine, two parallelism levels)
