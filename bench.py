@@ -77,10 +77,20 @@ def main() -> None:
         serve_queries = ["the", "city + state", "war history world",
                          "house + music + river", "wd0042"]
         t0 = time.time()
+        from oscar_spark.serve.executor import SERVE_STAGES
+        stage_acc: dict[str, list] = {s: [] for s in SERVE_STAGES}
         for q in serve_queries:
             eng.search(q, k=10)
+            for s, v in (eng.last_stage_times or {}).items():
+                stage_acc[s].append(v)
         timings["serve_topk_5q"] = round(time.time() - t0, 3)
         timings["build_docs_per_sec"] = round(res.docs_per_sec, 1)
+        # per-stage serve split (reference Benchmark.cpp:227-304 analog)
+        serve_stages = {
+            s: {"min": round(min(v), 4), "max": round(max(v), 4),
+                "mean": round(sum(v) / len(v), 4),
+                "median": round(sorted(v)[len(v) // 2], 4)}
+            for s, v in stage_acc.items() if v}
 
     total = round(sum(v for k, v in timings.items()
                       if k != "build_docs_per_sec"), 3)
@@ -89,6 +99,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "serve_stages": serve_stages,
         "sf": sf,
         "cpus": cpus,
         "bench_pages": n_pages,

@@ -295,15 +295,26 @@ def main() -> None:
                     print(f"  building at local[{cores}] ...",
                           file=sys.stderr)
                     pr.append(run_build(cores, pages_path, out_dir))
+                # the legs take minutes while the probe samples one —
+                # storms returning MID-LEG produced probe-calm pairs at
+                # 0.44 efficiency.  Probe again AFTER the legs; the
+                # pair counts only if the window HELD (min of the two
+                # probes clears the threshold).
+                mc_post = mem_ceiling(args.n)
+                held = min(mc, mc_post) >= args.calm_thresh
                 e = pr[1]["docs_per_sec"] / (4.0 * pr[0]["docs_per_sec"])
                 print(f"  attempt {attempt}: {pr[0]['docs_per_sec']} / "
                       f"{pr[1]['docs_per_sec']} docs/s, eff {e:.3f} "
-                      f"(ceiling {mc:.3f})", file=sys.stderr)
+                      f"(ceiling {mc:.3f}→{mc_post:.3f}, "
+                      f"{'HELD' if held else 'window broke — quarantined'})",
+                      file=sys.stderr)
                 all_attempts.append({"mem_ceiling": round(mc, 3),
-                                     "calm": True, "n": pr[0],
+                                     "mem_ceiling_post": round(mc_post, 3),
+                                     "calm": held, "n": pr[0],
                                      "4n": pr[1],
                                      "efficiency": round(e, 4)})
-                calm_pairs.append((mc, pr[0], pr[1]))
+                if held:
+                    calm_pairs.append((min(mc, mc_post), pr[0], pr[1]))
                 attempt += 1
             if not calm_pairs:
                 raise SystemExit(
@@ -323,11 +334,14 @@ def main() -> None:
             results[0]["pair_mem_ceilings"] = [round(mc, 3)
                                                for mc, _, _ in calm_pairs]
             results[0]["protocol"] = (
-                f"calm-window: pairs count only when the same-minute "
-                f"bandwidth-ceiling probe >= {args.calm_thresh}; "
-                f"{len(calm_pairs)} calm pairs kept, "
-                f"{sum(1 for a in all_attempts if not a['calm'])} storm "
-                f"attempts quarantined (BENCH/pairs_raw.json)")
+                f"calm-window: a pair counts only when the bandwidth-"
+                f"ceiling probes BOTH immediately before and immediately "
+                f"after its legs clear {args.calm_thresh} (the window "
+                f"must HOLD across the measurement); "
+                f"{len(calm_pairs)} held pairs kept, "
+                f"{sum(1 for a in all_attempts if not a['calm'])} storm/"
+                f"broken-window attempts quarantined "
+                f"(BENCH/pairs_raw.json)")
             os.makedirs("BENCH", exist_ok=True)
             with open("BENCH/pairs_raw.json", "w") as f:
                 json.dump(all_attempts, f, indent=1, default=str)
