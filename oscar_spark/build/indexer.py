@@ -463,6 +463,28 @@ class BuildResult:
     stage_secs: dict | None = None
 
 
+def _tune_scan_partitions(spark: SparkSession,
+                          sigs: dict[str, str] | None) -> str | None:
+    """Size spark.sql.files.maxPartitionBytes so the input scan yields
+    ~4 tasks per core (returns the previous setting, None if untouched).
+
+    Rationale: the default 128 MB packing gave a 480k-page bench input
+    NINE scan partitions — at 8 cores that is two task waves with the
+    second wave 1/8 occupied, ~40% idle time on the tokenize stage's
+    critical path, and the idle fraction GROWS with core count (a
+    direct N→4N efficiency tax).  At real scale (input bytes ≫ cores ×
+    512 MB) the computed target exceeds the 128 MB default and the cap
+    keeps Spark's normal behavior."""
+    if not sigs:
+        return None
+    total = sum(max(int(s.split("|")[0]), 0) for s in sigs.values())
+    par = spark.sparkContext.defaultParallelism * 4
+    tgt = min(max(total // max(par, 1), 4 << 20), 128 << 20)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+    return old
+
+
 def prewarm_workers(spark: SparkSession) -> None:
     """Pay each Python UDF worker's one-time interpreter spawn +
     pandas/numpy/pyarrow/oscar_spark import (~1.5s) OUTSIDE any timed
@@ -590,6 +612,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     fp = input_fingerprint(pages)
     _mark("fingerprint")
     resumed: list[str] = []
+    # balance the scans for THIS input size (restored on exit)
+    _old_mpb = _tune_scan_partitions(spark, input_files_sig(pages))
 
     # ---- incremental append (store→store re-import analog,
     # reference/oscar-create/oscarcreate.cpp:86-116): if the input grew
@@ -616,9 +640,14 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 and store.get_meta("payload_dedup", False) == dedup_payloads
                 and set(recorded).issubset(cur)
                 and all(cur[f] == recorded[f] for f in recorded)):
-            return _append_index(
-                spark, raw_pages, store, codec, fp, cur,
-                sorted(set(cur) - set(recorded)))
+            try:
+                return _append_index(
+                    spark, raw_pages, store, codec, fp, cur,
+                    sorted(set(cur) - set(recorded)))
+            finally:
+                if _old_mpb is not None:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                                   _old_mpb)
 
     # ---- stage 0: tokens checkpoint ----
     # Tokenize EXACTLY once and checkpoint to parquet.  Two downstream
@@ -782,6 +811,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     if sigs:
         store.set_meta("input_files", sigs)
     _mark("lineage_and_counts")
+    if _old_mpb is not None:  # serve scans should see the default again
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
 
     return BuildResult(n_docs=n_docs, avgdl=avgdl, n_terms=n_terms,
                        n_blocks=int(n_blocks), docs_per_sec=dps,
