@@ -278,13 +278,19 @@ def main() -> None:
             while len(calm_pairs) < args.pairs and \
                     attempt < args.max_attempts:
                 mc = mem_ceiling(args.n)
-                calm = mc >= args.calm_thresh
-                print(f"attempt {attempt}: mem ceiling {mc:.3f} "
+                # the ALU ceiling collapses too under tenant CPU storms
+                # (measured 0.56 on a day the bandwidth probe read 0.9+)
+                # — both resources must be calm for a pair to count
+                ac = hw_ceiling(args.n) if mc >= args.calm_thresh else 0.0
+                calm = mc >= args.calm_thresh and ac >= 0.9
+                print(f"attempt {attempt}: mem ceiling {mc:.3f}, "
+                      f"alu ceiling {ac:.3f} "
                       + ("(CALM)" if calm
                          else "(storm — skipped, quarantined)"),
                       file=sys.stderr)
                 if not calm:
                     all_attempts.append({"mem_ceiling": round(mc, 3),
+                                         "alu_ceiling": round(ac, 3),
                                          "calm": False, "skipped": True})
                     attempt += 1
                     time.sleep(int(os.environ.get("STORM_SLEEP", "120")))
@@ -298,18 +304,23 @@ def main() -> None:
                 # the legs take minutes while the probe samples one —
                 # storms returning MID-LEG produced probe-calm pairs at
                 # 0.44 efficiency.  Probe again AFTER the legs; the
-                # pair counts only if the window HELD (min of the two
-                # probes clears the threshold).
+                # pair counts only if the window HELD (both probes of
+                # both resources clear their thresholds).
                 mc_post = mem_ceiling(args.n)
-                held = min(mc, mc_post) >= args.calm_thresh
+                ac_post = hw_ceiling(args.n)
+                held = min(mc, mc_post) >= args.calm_thresh and \
+                    min(ac, ac_post) >= 0.9
                 e = pr[1]["docs_per_sec"] / (4.0 * pr[0]["docs_per_sec"])
                 print(f"  attempt {attempt}: {pr[0]['docs_per_sec']} / "
                       f"{pr[1]['docs_per_sec']} docs/s, eff {e:.3f} "
-                      f"(ceiling {mc:.3f}→{mc_post:.3f}, "
+                      f"(mem {mc:.3f}→{mc_post:.3f}, "
+                      f"alu {ac:.3f}→{ac_post:.3f}, "
                       f"{'HELD' if held else 'window broke — quarantined'})",
                       file=sys.stderr)
                 all_attempts.append({"mem_ceiling": round(mc, 3),
                                      "mem_ceiling_post": round(mc_post, 3),
+                                     "alu_ceiling": round(ac, 3),
+                                     "alu_ceiling_post": round(ac_post, 3),
                                      "calm": held, "n": pr[0],
                                      "4n": pr[1],
                                      "efficiency": round(e, 4)})
@@ -334,11 +345,11 @@ def main() -> None:
             results[0]["pair_mem_ceilings"] = [round(mc, 3)
                                                for mc, _, _ in calm_pairs]
             results[0]["protocol"] = (
-                f"calm-window: a pair counts only when the bandwidth-"
-                f"ceiling probes BOTH immediately before and immediately "
-                f"after its legs clear {args.calm_thresh} (the window "
-                f"must HOLD across the measurement); "
-                f"{len(calm_pairs)} held pairs kept, "
+                f"calm-window: a pair counts only when bandwidth-ceiling "
+                f"probes (>= {args.calm_thresh}) AND ALU-ceiling probes "
+                f"(>= 0.9) both immediately before and immediately after "
+                f"its legs all clear — the window must HOLD across the "
+                f"measurement; {len(calm_pairs)} held pairs kept, "
                 f"{sum(1 for a in all_attempts if not a['calm'])} storm/"
                 f"broken-window attempts quarantined "
                 f"(BENCH/pairs_raw.json)")
