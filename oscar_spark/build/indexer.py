@@ -162,15 +162,22 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame],
         yield pd.DataFrame(out)
         if field_cols and len(pdf):
             from oscar_spark.config import FIELD_POS_BASE
-            from oscar_spark.functions.tokenize import normalize_field_series
+            from oscar_spark.functions.tokenize import (
+                normalize_field_series, normalize_field_value)
             for j, fc in enumerate(field_cols):
+                # the KEY goes through the same pinned normalization as
+                # the parser and oracle apply (a raw column name with
+                # '_' or uppercase could otherwise never be queried)
+                kn = normalize_field_value(fc)
+                if not kn:
+                    continue
                 vals = normalize_field_series(pdf[fc].astype("string"))
                 keep = vals.fillna("").str.len() > 0  # null/empty: no token
                 km = keep.to_numpy()
                 frow = {
                     "url": pd.Categorical.from_codes(ucodes[km],
                                                      categories=ucats),
-                    "term": (fc + ":" + vals[keep]).to_numpy(dtype=object),
+                    "term": (kn + ":" + vals[keep]).to_numpy(dtype=object),
                     "tf": np.ones(int(km.sum()), dtype="int32"),
                     "dl": counts[km].astype("int32"),
                 }
@@ -570,7 +577,32 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 dedup_payloads: bool = False,
                 positions: bool = False,
                 fields: tuple[str, ...] = ()) -> BuildResult:
+    """Build the full index — see _build_index_impl for the pipeline.
+    This wrapper owns the session-conf scan tuning so the restore runs
+    on EVERY exit (including exceptions mid-build: a leaked 4 MB
+    maxPartitionBytes would explode task counts for every later scan
+    in the session)."""
+    old_mpb = _tune_scan_partitions(spark, input_files_sig(pages))
+    try:
+        return _build_index_impl(spark, pages, index_dir, resume, codec,
+                                 dedup_payloads, positions, fields)
+    finally:
+        if old_mpb is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
+def _build_index_impl(spark: SparkSession, pages: DataFrame,
+                      index_dir: str, resume: bool = False,
+                      codec: str | None = None,
+                      dedup_payloads: bool = False,
+                      positions: bool = False,
+                      fields: tuple[str, ...] = ()) -> BuildResult:
     """Build the full index (doc_stats, terms, postings, lineage).
+
+    Input contract: url is the document key — ONE page row per url.
+    Duplicate urls within one build fail fast in the posting encoder
+    (clear error); re-crawled urls arriving in LATER drops are handled
+    by the append path's committed-url anti-join.
 
     codec: posting payload codec ("varint" | "pfor" | "ef"); defaults
     to config.POSTINGS_CODEC.  Recorded in the store manifest; serve
@@ -612,8 +644,6 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     fp = input_fingerprint(pages)
     _mark("fingerprint")
     resumed: list[str] = []
-    # balance the scans for THIS input size (restored on exit)
-    _old_mpb = _tune_scan_partitions(spark, input_files_sig(pages))
 
     # ---- incremental append (store→store re-import analog,
     # reference/oscar-create/oscarcreate.cpp:86-116): if the input grew
@@ -640,14 +670,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 and store.get_meta("payload_dedup", False) == dedup_payloads
                 and set(recorded).issubset(cur)
                 and all(cur[f] == recorded[f] for f in recorded)):
-            try:
-                return _append_index(
-                    spark, raw_pages, store, codec, fp, cur,
-                    sorted(set(cur) - set(recorded)))
-            finally:
-                if _old_mpb is not None:
-                    spark.conf.set("spark.sql.files.maxPartitionBytes",
-                                   _old_mpb)
+            return _append_index(
+                spark, raw_pages, store, codec, fp, cur,
+                sorted(set(cur) - set(recorded)))
 
     # ---- stage 0: tokens checkpoint ----
     # Tokenize EXACTLY once and checkpoint to parquet.  Two downstream
@@ -770,7 +795,12 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
 
     # ---- stage 3: terms (df recomputed from committed postings so the
     # stored df provably equals the posting contents — FIXTURES.md inv 2) ----
-    if resume and store.committed("terms", fp):
+    # df contents depend on the fielded-token set (not codec/positions),
+    # so the terms fingerprint carries the fields flag — without it a
+    # fields-flip rebuild would skip the terms stage and leave a stale
+    # dictionary disagreeing with the postings
+    trfp = f"{fp}|f={ffp}"
+    if resume and store.committed("terms", trfp):
         resumed.append("terms")
     else:
         terms = (
@@ -789,7 +819,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
         # serve only takes the 2-char pruned path when this flag says
         # the mirror has them (older stores fall back to the scan)
         store.set_meta("ngram2", True)
-        store.commit("terms", fp)
+        store.commit("terms", trfp)
     _mark("terms")
     terms = store.read(spark, "terms")
 
@@ -811,8 +841,6 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     if sigs:
         store.set_meta("input_files", sigs)
     _mark("lineage_and_counts")
-    if _old_mpb is not None:  # serve scans should see the default again
-        spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
 
     return BuildResult(n_docs=n_docs, avgdl=avgdl, n_terms=n_terms,
                        n_blocks=int(n_blocks), docs_per_sec=dps,
@@ -850,6 +878,17 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
         raise ValueError(
             f"segment {seg!r} is already committed in this store; "
             "replay/skip it instead of re-ingesting")
+    # a store built before the flag-byte payload (format 1) must not
+    # gain a format-2 segment: commit_append stamps payload_format
+    # store-wide, which would flip the decoder under the OLD blocks and
+    # silently mis-decode any v1 payload starting 0x00/0x01
+    store_fmt = store.get_meta("payload_format")
+    if store_fmt is None:
+        store_fmt = 2 if store.get_meta("codec") is not None else 1
+    if int(store_fmt) != PAYLOAD_FORMAT:
+        raise ValueError(
+            f"store payload format {store_fmt} != current "
+            f"{PAYLOAD_FORMAT}; rebuild instead of appending")
     n_old = int(store.get_meta("n_docs"))
     avgdl_old = float(store.get_meta("avgdl"))
     positions = bool(store.get_meta("positions", False))
@@ -962,6 +1001,7 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     # build_index's, incl. the positional/fielded flags) ----
     tfp = f"{fp}|pos={int(positions)}|f={','.join(fields)}"
     pfp = f"{fp}|codec={codec}|pos={int(positions)}|f={','.join(fields)}"
+    trfp = f"{fp}|f={','.join(fields)}"
     store.commit_append(
         add=seg_adds,
         replace={"terms": [seg], "terms_rev": [seg],
@@ -970,7 +1010,7 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
               "payload_format": PAYLOAD_FORMAT, "ngram2": True,
               **(extra_meta or {})},
         stage_fingerprints={"tokens": tfp, "doc_stats": fp,
-                            "postings": pfp, "terms": fp},
+                            "postings": pfp, "terms": trfp},
     )
     return {"n_new": n_new, "n_total": n_total, "avgdl": avgdl_total}
 
@@ -1029,11 +1069,18 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
     # match is a hard error below, never a silent empty append.
     targets = sorted(set().union(*(_uri_variants(f) for f in new_files)))
     new_pages = pages.filter(F.input_file_name().isin(targets))
-    if new_pages.limit(1).count() == 0:
+    # EVERY new file must match (a partial match would silently drop
+    # the unmatched files' docs while recording them as ingested —
+    # distinct scan-side names are each one real file, so a count
+    # comparison detects any miss)
+    matched = {r["f"] for r in new_pages
+               .select(F.input_file_name().alias("f")).distinct().collect()}
+    if len(matched) < len(new_files):
         raise RuntimeError(
-            f"append: {len(new_files)} new input files matched 0 rows "
-            "(URI rendering mismatch between inputFiles() and "
-            f"input_file_name()?); first new file: {new_files[0]!r}")
+            f"append: only {len(matched)} of {len(new_files)} new input "
+            "files matched any rows (URI rendering mismatch between "
+            "inputFiles() and input_file_name()); refusing to commit a "
+            f"partial segment. First new file: {new_files[0]!r}")
     # html-only input: extract AFTER the per-file filter (the filter's
     # input_file_name() is only defined directly over the file scan)
     if "text" not in new_pages.columns:

@@ -170,7 +170,12 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
     deltas[0] = 1  # placeholder, overwritten below (bmask[0] is True)
     np.subtract(ids[1:], ids[:-1], out=deltas[1:])
     if ((deltas <= 0) & ~bmask).any():
-        raise ValueError("doc_ids must be strictly increasing within a block")
+        raise ValueError(
+            "doc_ids must be strictly increasing within a block — equal "
+            "ids usually mean the SAME url appeared on multiple input "
+            "rows of one build (url is the document key: a full build "
+            "requires one row per url; re-crawls belong in separate "
+            "append drops, where the committed-url anti-join dedups them)")
     deltas[bstarts] = ids[bstarts] - rngs[bstarts] * range_size
     # permute values into per-block [delta0 | tfs | dls | deltas[1:]]
     # stream order — tf/dl first so a DENSE block (consecutive ids, the

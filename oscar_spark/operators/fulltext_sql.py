@@ -246,8 +246,12 @@ def fielded_topk(spark: SparkSession, sf_dir: str,
     """BM25 top-k over docs matching ALL text terms AND the fielded
     `key:value` token (TextSearchTraits.h:108 analog).  The fielded
     token scores as a tf=1 posting whose df is the value's doc count —
-    exactly the indexed engine's fielded semantics, expressed
-    declaratively so DuckDB can replicate it value-for-value."""
+    the indexed engine's fielded SCORING, expressed declaratively so
+    DuckDB can replicate it value-for-value.  Matching here is RAW
+    equality on the column (field_val must be passed as stored, e.g.
+    'en'); the indexed engine additionally normalizes values through
+    normalize_field_value, so 'en-US' stores as 'en-us' there — pass
+    pre-normalized values to keep the two in lockstep."""
     docs = load_documents(spark, sf_dir)
     scored = _scores(docs, query_terms)
     agg = (scored.groupBy("doc_id")

@@ -354,7 +354,8 @@ class SearchEngine:
     # reference/oscar-create/CellTextCompleter.h:457-473) ----
     def _score_phrase_ranges(self, toks: list[str],
                              dfmap: dict[str, int],
-                             local_k: int | None) -> DataFrame:
+                             local_k: int | None,
+                             docs_only: bool = False) -> DataFrame:
         """(doc_id, score) per range for docs containing the EXACT
         phrase: per range, decode each member term's ids + positions,
         intersect doc sets, verify adjacency (pos of tok_i == start+i),
@@ -391,12 +392,16 @@ class SearchEngine:
                 scoremap: dict = {}
                 df_t = float(dfmap.get(t, 0))
                 for ids, tfs, dls, flat, offs in acc[t]:
-                    sc = bm25_np(tfs.astype(np.float64),
-                                 dls.astype(np.float64),
-                                 df_t, n_docs, avgdl)
+                    # docs_only (set-algebra membership): skip scoring —
+                    # the brute path re-scores matched docs itself, so
+                    # computing BM25 here would be pure double work
+                    sc = None if docs_only else bm25_np(
+                        tfs.astype(np.float64), dls.astype(np.float64),
+                        df_t, n_docs, avgdl)
                     for j, d in enumerate(ids.tolist()):
                         posmap[d] = flat[offs[j]:offs[j + 1]]
-                        scoremap[d] = sc[j]
+                        if sc is not None:
+                            scoremap[d] = sc[j]
                 tpos[t] = posmap
                 tscore[t] = scoremap
             cand = set(tpos[uniq[0]])
@@ -411,7 +416,8 @@ class SearchEngine:
                         break
                 if starts:
                     out_ids.append(d)
-                    out_sc.append(sum(tscore[t][d] for t in uniq))
+                    out_sc.append(0.0 if docs_only else
+                                  sum(tscore[t][d] for t in uniq))
             if not out_ids:
                 return empty
             ids_a = np.array(out_ids, dtype=np.int64)
@@ -427,8 +433,8 @@ class SearchEngine:
     def _phrase_docs_df(self, toks: list[str],
                         dfmap: dict[str, int]) -> DataFrame:
         """Doc-id set containing the exact phrase (for set algebra)."""
-        return self._score_phrase_ranges(toks, dfmap, None) \
-            .select("doc_id")
+        return self._score_phrase_ranges(toks, dfmap, None,
+                                         docs_only=True).select("doc_id")
 
     # ---- per-term decoded postings (for set algebra / general trees) ----
     def _decoded(self, terms: list[str], dfmap: dict[str, int]) -> DataFrame:

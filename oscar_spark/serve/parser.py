@@ -150,10 +150,13 @@ def _parse_tokens(toks, pos: int, depth: int):
         kind = t[0]
         if kind == "word" or kind == "quoted":
             if kind == "quoted":
-                toks = tokenize(t[1])
+                # NOTE: local name must not shadow the token stream
+                # (`toks`) — rebinding it silently dropped every query
+                # token after a quoted string
+                qtoks = tokenize(t[1])
                 # multi-token quote = phrase; single token = plain term
-                sub = (("phrase", tuple(toks)) if len(toks) > 1
-                       else ("term", toks[0]) if toks else EMPTY)
+                sub = (("phrase", tuple(qtoks)) if len(qtoks) > 1
+                       else ("term", qtoks[0]) if qtoks else EMPTY)
             else:
                 sub = _terms_node(t[1], allow_prefix=True)
             if sub != EMPTY:

@@ -244,3 +244,58 @@ def test_fielded_engine_rank_identity(spark, tmp_path):
         assert [x for x, _ in got] == [x for x, _ in exp], q
         for (_, gs), (_, es) in zip(got, exp):
             assert round(gs, SCORE_ROUND) == round(es, SCORE_ROUND), q
+
+
+def test_parser_tokens_after_quote_survive():
+    """Regression: the quoted branch once rebound the token-stream
+    variable, silently dropping every token after a quote."""
+    assert parser.parse('"big cat" dog') == \
+        ("and", ("phrase", ("big", "cat")), ("term", "dog"))
+    assert parser.parse('"dog" cat') == \
+        ("and", ("term", "dog"), ("term", "cat"))
+    assert parser.parse('"big cat" + dog') == \
+        ("or", ("phrase", ("big", "cat")), ("term", "dog"))
+    assert parser.parse('("big cat" dog) - cow') == \
+        ("not", ("and", ("phrase", ("big", "cat")), ("term", "dog")),
+         ("term", "cow"))
+
+
+def test_field_key_normalized_at_build():
+    """Keys with '_'/uppercase normalize identically in build, parser,
+    and oracle (raw keys could never be queried)."""
+    import pandas as pd
+
+    from oscar_spark.build.indexer import _tokenize_batches
+    pdf = pd.DataFrame({"url": ["https://a/"], "text": ["alpha beta"],
+                        "Content_Type": ["Text/HTML"]})
+    frames = list(_tokenize_batches(iter([pdf]),
+                                    field_cols=("Content_Type",)))
+    fielded = [t for f in frames for t in f["term"].astype(str)
+               if ":" in t]
+    assert fielded == ["content-type:text-html"]
+    # '/' is an operator char — escape it (reference escape set) or
+    # type the normalized form; both reach the same composite term
+    assert parser.parse(r"Content_Type:Text\/HTML") == \
+        ("term", "content-type:text-html")
+    assert parser.parse("content_type:text-html") == \
+        ("term", "content-type:text-html")
+
+
+def test_fields_flip_resume_rebuilds_terms(spark, tmp_path):
+    """Regression: the terms-stage fingerprint omitted the fields flag,
+    so a fields-flip rebuild kept a stale dictionary (df=0 for every
+    fielded term while postings contained them)."""
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import generate_pages, pages_spark_df
+    from oscar_spark.serve.executor import SearchEngine
+
+    d = str(tmp_path / "flip")
+    pages = pages_spark_df(spark, 100)
+    build_index(spark, pages, d)  # no fields
+    res = build_index(spark, pages, d, resume=True, fields=("lang",))
+    assert "terms" not in res.resumed_stages
+    pdf = generate_pages(100)
+    lg = sorted(set(pdf["lang"]))[0]
+    eng = SearchEngine(spark, d)
+    n = int((pdf["lang"] == lg).sum())
+    assert eng.term_stats([f"lang:{lg}"]).get(f"lang:{lg}") == n

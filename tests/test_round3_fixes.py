@@ -101,8 +101,11 @@ def test_append_with_percent_encoded_dir(spark, tmp_path):
 # ---- duplicate urls in one tokenize batch ----
 
 def test_tokenize_batch_with_duplicate_urls():
-    """from_codes over a non-unique url column raised ValueError; dup
-    urls are expected input (re-crawls) and must tokenize fine."""
+    """from_codes over a non-unique url column raised ValueError; the
+    TOKENIZE stage must tolerate duplicates (streaming/append batches
+    see re-crawls before the committed-url anti-join dedups them).  A
+    FULL build still requires one row per url — the posting encoder
+    fails fast with an explanatory error otherwise."""
     from oscar_spark.build.indexer import _tokenize_batches
     pdf = pd.DataFrame({
         "url": ["https://a/", "https://a/", "https://b/"],
