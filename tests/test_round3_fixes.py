@@ -216,3 +216,23 @@ def test_dedup_components_fixpoint_independent_of_max_iter(spark):
         capped = [tuple(r) for r in
                   dedup_components(spark, SF1, max_iter=1).collect()]
     assert capped == full
+
+
+def test_scan_tuning_restored_on_exception(spark, tmp_path):
+    """build_index tunes spark.sql.files.maxPartitionBytes for its
+    input; an exception mid-build must restore it (a leaked 4MB value
+    would explode task counts for every later scan in the session)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oscar_spark.build.indexer import build_index
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    pdir = tmp_path / "bad_pages"
+    pdir.mkdir()
+    pq.write_table(pa.table({"url": ["https://a/"]}),  # no text/html
+                   str(pdir / "p.parquet"))
+    with pytest.raises(Exception):
+        build_index(spark, spark.read.parquet(str(pdir)),
+                    str(tmp_path / "idx"))
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
