@@ -44,12 +44,23 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
+    # Each query runs twice and the WARM (second) run counts, like the
+    # reference's harness (reference/oscar-cmd/Benchmark.cpp:158): the
+    # first run of a heavy path in a fresh JVM pays JIT/codegen
+    # compilation that a standing cluster's executors do not, and a
+    # single-shot sample whipsaws with host state (round-3 driver bench
+    # moved 2.2x on unchanged code).  Cold runs are reported alongside.
     for name in headline:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()  # materialize the full plan
+        cold_timings[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: warm {timings[name]}s / cold "
+              f"{cold_timings[name]}s ({n} rows)", file=sys.stderr)
 
     # --- the real engine: build + pruned serve over the pages fixture ---
     from oscar_spark.build.indexer import build_index
@@ -66,6 +77,11 @@ def main() -> None:
         timings["pages_gen"] = round(time.time() - t0, 3)
         d = os.path.join(d, "idx")
 
+        # pre-warm one Python UDF worker per core outside the timed
+        # region, like cli.py build — a standing cluster's executors
+        # have warm workers; interpreter spawn is not build throughput
+        from oscar_spark.build.indexer import prewarm_workers
+        prewarm_workers(spark)
         t0 = time.time()
         res = build_index(spark, pages, d)
         timings["index_build"] = round(time.time() - t0, 3)
@@ -76,14 +92,23 @@ def main() -> None:
         eng = SearchEngine(spark, d)
         serve_queries = ["the", "city + state", "war history world",
                          "house + music + river", "wd0042"]
-        t0 = time.time()
         from oscar_spark.serve.executor import SERVE_STAGES
         stage_acc: dict[str, list] = {s: [] for s in SERVE_STAGES}
+        # warm serve pass counts (each query runs twice; the second
+        # run's wall time and stage split are recorded)
+        cold_serve = 0.0
+        warm_serve = 0.0
         for q in serve_queries:
+            t0 = time.time()
             eng.search(q, k=10)
+            cold_serve += time.time() - t0
+            t0 = time.time()
+            eng.search(q, k=10)
+            warm_serve += time.time() - t0
             for s, v in (eng.last_stage_times or {}).items():
                 stage_acc[s].append(v)
-        timings["serve_topk_5q"] = round(time.time() - t0, 3)
+        timings["serve_topk_5q"] = round(warm_serve, 3)
+        cold_timings["serve_topk_5q"] = round(cold_serve, 3)
         timings["build_docs_per_sec"] = round(res.docs_per_sec, 1)
         # per-stage serve split (reference Benchmark.cpp:227-304 analog)
         serve_stages = {
@@ -99,6 +124,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold_timings,
         "serve_stages": serve_stages,
         "sf": sf,
         "cpus": cpus,

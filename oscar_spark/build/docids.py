@@ -64,7 +64,15 @@ def assign_doc_ids_ranged(doc_lens: DataFrame,
     # (eager=False): the manifest collect below is the first action, so
     # checkpoint materialization rides on a job that must run anyway —
     # eager=True cost one extra whole job launch (~0.2-1.5s fixed), a
-    # direct N→4N efficiency tax at bench scale.  (Real cluster: a
+    # direct N→4N efficiency tax at bench scale.  INVARIANT the laziness
+    # depends on: the FIRST action over `ranged` must compute EVERY
+    # partition (the manifest groupBy below does — it aggregates all
+    # rows).  A future caller whose first action scans only a subset
+    # would leave unvisited partitions to re-run the range-sampling
+    # lineage on a later job — re-drawing boundaries and reintroducing
+    # the exact duplicate/gapped-doc-id hazard this checkpoint exists
+    # to prevent.  If that access pattern ever appears, flip back to
+    # eager=True here rather than weakening the caller.  (Real cluster: a
     # reliable checkpoint dir / the committed Iceberg partition manifest
     # plays this role — executor loss must not re-sample.)
     ranged = ranged.localCheckpoint(eager=False)

@@ -621,6 +621,25 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
     works as a query leaf; recorded in the manifest, appends inherit."""
     from oscar_spark.config import POSTINGS_CODEC
     codec = codec or POSTINGS_CODEC
+    if fields:
+        # fail fast with a field-specific message: two columns whose
+        # names normalize to the same key (e.g. 'Lang' and 'lang') would
+        # emit duplicate (url, term) postings and crash the block
+        # encoder later with a misleading duplicate-url error
+        from oscar_spark.functions.tokenize import normalize_field_value
+        kns = [normalize_field_value(f) for f in fields]
+        empty_keys = [f for f, kn in zip(fields, kns) if not kn]
+        if empty_keys:
+            raise ValueError(
+                f"field column(s) {empty_keys} normalize to an empty "
+                "key — rename them to contain at least one alphanumeric")
+        dupes = sorted({kn for kn in kns if kns.count(kn) > 1})
+        if dupes:
+            coll = {kn: [f for f, k in zip(fields, kns) if k == kn]
+                    for kn in dupes}
+            raise ValueError(
+                f"field columns collide after key normalization: {coll}"
+                " — the composite key:value tokens would be ambiguous")
     t0 = time.time()
     stage_secs: dict[str, float] = {}
     _last = [t0]
@@ -1076,11 +1095,23 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
     matched = {r["f"] for r in new_pages
                .select(F.input_file_name().alias("f")).distinct().collect()}
     if len(matched) < len(new_files):
-        raise RuntimeError(
-            f"append: only {len(matched)} of {len(new_files)} new input "
-            "files matched any rows (URI rendering mismatch between "
-            "inputFiles() and input_file_name()); refusing to commit a "
-            f"partial segment. First new file: {new_files[0]!r}")
+        # a legitimately EMPTY parquet drop (0 rows) has no rows whose
+        # input_file_name() could match — indistinguishable from a URI
+        # rendering mismatch by row counts alone.  Read just the
+        # unmatched files directly: genuinely empty ones are fine to
+        # record as ingested; only non-empty unmatched files mean a
+        # rendering mismatch that would silently drop docs.
+        unmatched = [f for f in new_files
+                     if not (_uri_variants(f) & matched)]
+        dropped = [f for f in unmatched
+                   if spark.read.parquet(f).limit(1).count() > 0]
+        if dropped:
+            raise RuntimeError(
+                f"append: {len(dropped)} non-empty new input file(s) "
+                "matched zero rows (URI rendering mismatch between "
+                "inputFiles() and input_file_name()); refusing to "
+                "commit a partial segment. First affected: "
+                f"{dropped[0]!r}")
     # html-only input: extract AFTER the per-file filter (the filter's
     # input_file_name() is only defined directly over the file scan)
     if "text" not in new_pages.columns:
@@ -1106,3 +1137,85 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
                        docs_per_sec=dps, elapsed_sec=elapsed,
                        resumed_stages=[f"append:{seg}"],
                        stage_secs=stage_secs)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Merge every committed segment back into ONE fresh segment — the
+    store→store re-import analog (reference/oscar-create/
+    oscarcreate.cpp:86-116).  Without it a daily-append store's
+    per-query segment/file count grows without bound (terms is
+    swap-replaced on append, but postings/tokens/doc_stats segments
+    accumulate).
+
+    Search results are invariant: doc ids, payload bytes, df and
+    n_docs/avgdl are all preserved.  Only block_id is renumbered per
+    (bucket, term) — ordering by first_doc is globally consistent
+    because appended docs always take ids past the committed space, so
+    the per-term strictly-increasing block invariant holds in the
+    compacted store.  Payload-dedup stores re-dedup payloads across
+    segments (a no-op by construction — append anti-joins committed
+    hashes — kept as cheap paranoia on a maintenance path).
+
+    Scale shape: ONE shuffle of the postings table (the renumbering
+    window on (bucket, term)), linear unions for the rest.  One atomic
+    manifest swap at the end (commit_append replace=…): a crash
+    mid-compaction leaves the old snapshot fully intact; superseded
+    segment directories are removed best-effort AFTER the commit.
+    """
+    import shutil
+    import zlib
+
+    from pyspark.sql import Window
+
+    store = IndexStore(index_dir)
+    dedup = bool(store.get_meta("payload_dedup", False))
+    tables = ["tokens", "doc_stats", "postings"] + \
+        (["payloads"] if dedup else [])
+    mirrors = ["terms", "terms_rev", "terms_ngram"]
+    pre = {t: store.segments(t) for t in tables + mirrors}
+    if all(len(pre[t]) <= 1 for t in tables):
+        return {"compacted": False,
+                "segments_before": max(len(v) for v in pre.values())}
+    t0 = time.time()
+    seg = "c%08x" % zlib.crc32(
+        ";".join(sorted({s for v in pre.values() for s in v})).encode())
+
+    posting_cols = store.read(spark, "postings").columns
+    w = Window.partitionBy("bucket", "term").orderBy("first_doc")
+    p2 = (store.read(spark, "postings")
+          .withColumn("block_id",
+                      (F.row_number().over(w) - 1).cast("int"))
+          .select(*posting_cols))
+    store.write_segment(p2, "postings", seg, partition_by=["bucket"])
+
+    if dedup:
+        store.write_segment(
+            store.read(spark, "payloads")
+            .dropDuplicates(["bucket", "payload_hash"]),
+            "payloads", seg, partition_by=["bucket"])
+
+    # terms re-derived from the compacted postings so the stored df
+    # provably equals the posting contents (FIXTURES.md invariant 2)
+    terms = (store.read_segment(spark, "postings", seg)
+             .groupBy("bucket", "term")
+             .agg(F.sum("doc_count").cast("long").alias("df"),
+                  F.count("*").cast("long").alias("n_blocks")))
+    store.write_segment(terms.repartition("bucket")
+                        .sortWithinPartitions("bucket", "term"),
+                        "terms", seg, partition_by=["bucket"])
+    _write_terms_rev(store, store.read_segment(spark, "terms", seg), seg)
+
+    # resume snapshots collapse to one segment unchanged
+    store.write_segment(store.read(spark, "tokens"), "tokens", seg)
+    store.write_segment(store.read(spark, "doc_stats"), "doc_stats", seg)
+
+    every = tables + mirrors
+    store.commit_append(replace={t: [seg] for t in every})
+    for t in every:
+        for s in set(pre.get(t, [])):
+            if s != seg:
+                shutil.rmtree(os.path.join(store.path(t), f"seg={s}"),
+                              ignore_errors=True)
+    return {"compacted": True, "segment": seg,
+            "segments_before": max(len(v) for v in pre.values()),
+            "elapsed_sec": round(time.time() - t0, 2)}

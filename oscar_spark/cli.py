@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", default="auto",
                    choices=["auto", "brute", "pruned"])
 
+    c = sub.add_parser("compact",
+                       help="merge all committed index segments into one "
+                            "(store→store re-import analog, "
+                            "oscarcreate.cpp:86-116)")
+    c.add_argument("--index", required=True)
+
     be = sub.add_parser("bench")
     be.add_argument("--index", required=True)
     be.add_argument("--queries", required=True,
@@ -76,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
             "docs_per_sec": round(res.docs_per_sec, 1),
             "resumed_stages": res.resumed_stages,
             "stage_secs": res.stage_secs}))
+        return 0
+
+    if args.cmd == "compact":
+        from oscar_spark.build.indexer import compact_index
+        print(json.dumps(compact_index(spark, args.index)))
         return 0
 
     from oscar_spark.serve.executor import SearchEngine

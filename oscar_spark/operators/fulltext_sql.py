@@ -247,12 +247,18 @@ def fielded_topk(spark: SparkSession, sf_dir: str,
     `key:value` token (TextSearchTraits.h:108 analog).  The fielded
     token scores as a tf=1 posting whose df is the value's doc count —
     the indexed engine's fielded SCORING, expressed declaratively so
-    DuckDB can replicate it value-for-value.  Matching here is RAW
-    equality on the column (field_val must be passed as stored, e.g.
-    'en'); the indexed engine additionally normalizes values through
-    normalize_field_value, so 'en-US' stores as 'en-us' there — pass
-    pre-normalized values to keep the two in lockstep."""
+    DuckDB can replicate it value-for-value.  Matching normalizes BOTH
+    sides under the indexed engine's field rule (normalize_field_value:
+    lower, non-alnum runs → '-', trimmed), so fielded_topk('lang',
+    'en-US') agrees with the indexed engine's `lang:en-us` path —
+    previously raw column equality silently diverged for any caller
+    passing a non-normalized value.  (SQL-parity caveat as in the
+    module docstring: the NFKD diacritic strip is lower-only here; the
+    documents fixture is ASCII, where the rules coincide.)"""
+    from oscar_spark.functions.tokenize import normalize_field_value
+    field_val = normalize_field_value(field_val)
     docs = load_documents(spark, sf_dir)
+    fnorm = _field_norm_expr(field_key)
     scored = _scores(docs, query_terms)
     agg = (scored.groupBy("doc_id")
            .agg(F.sum("score").alias("ts"),
@@ -261,9 +267,9 @@ def fielded_topk(spark: SparkSession, sf_dir: str,
                 F.first("n").alias("n"),
                 F.first("avgdl").alias("avgdl"))
            .filter(F.col("nm") == len(query_terms)))
-    fdocs = docs.filter(F.col(field_key) == field_val).select("doc_id")
+    fdocs = docs.filter(fnorm == field_val).select("doc_id")
     fstat = docs.agg(
-        F.sum(F.when(F.col(field_key) == field_val, 1).otherwise(0))
+        F.sum(F.when(fnorm == field_val, 1).otherwise(0))
         .cast("double").alias("fdf"))
     return (agg.join(fdocs, "doc_id")
             .crossJoin(F.broadcast(fstat))
@@ -274,16 +280,29 @@ def fielded_topk(spark: SparkSession, sf_dir: str,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def _field_norm_expr(field_key: str):
+    """Spark twin of the SQL normalization in fielded_topk_sql — the
+    ASCII projection of normalize_field_value, shared so both engines
+    and the DuckDB oracle stay value-identical on the fixture."""
+    return F.expr(
+        f"trim(BOTH '-' FROM regexp_replace(lower({field_key}),"
+        " '[^a-z0-9]+', '-'))")
+
+
 def fielded_topk_sql(query_terms: list[str], field_key: str,
                      field_val: str, k: int = 10) -> str:
+    from oscar_spark.functions.tokenize import normalize_field_value
+    field_val = normalize_field_value(field_val)
     terms = ", ".join(f"'{t}'" for t in query_terms)
     score = bm25_sql("tf.tf", "dl.dl", "dfs.df", "stats.n", "stats.avgdl")
     fscore = bm25_sql("1.0", "t.dl", "fstat.fdf", "stats.n",
                       "stats.avgdl")
+    fnorm_sql = (f"trim(regexp_replace(lower({field_key}),"
+                 " '[^a-z0-9]+', '-', 'g'), '-')")
     return (
         TF_CTE +
         f", fdocs AS (SELECT doc_id FROM documents"
-        f" WHERE {field_key} = '{field_val}')"
+        f" WHERE {fnorm_sql} = '{field_val}')"
         ", fstat AS (SELECT CAST(COUNT(*) AS DOUBLE) AS fdf FROM fdocs)"
         f", t AS (SELECT tf.doc_id AS doc_id, SUM({score}) AS ts,"
         " COUNT(*) AS nm, MAX(dl.dl) AS dl FROM tf JOIN dl USING (doc_id)"
@@ -375,19 +394,19 @@ def facet_stats_sql(term: str) -> str:
         " GROUP BY key, value ORDER BY cnt DESC, key, value")
 
 
-def facet_entropy(spark: SparkSession, sf_dir: str, term: str,
-                  exclude_keys: tuple[str, ...] = (),
-                  exclude_values: tuple[str, ...] = ()) -> DataFrame:
-    """Shannon entropy per facet key over a query's result set — the
-    shannonKvstats analog (Worker::shannonKvstats,
-    reference/oscar-cmd/Workfunctions.cpp:171-233: entropy-scored
-    key split suggestion, including its key / key:value exclusion
-    sets).  exclude_keys drops whole facet keys; exclude_values drops
-    individual "key=value" pairs BEFORE probabilities are normalized —
-    matching the reference, which filters its KeyExclusions /
-    KeyValueExclusions while accumulating the stats, not afterwards.
-    Pure groupBy composition, no UDAF."""
-    kv = facet_stats(spark, sf_dir, term)
+def entropy_over_kv(kv: DataFrame,
+                    exclude_keys: tuple[str, ...] = (),
+                    exclude_values: tuple[str, ...] = ()) -> DataFrame:
+    """(key, value, cnt) facet counts → per-key Shannon entropy.
+
+    Shared kernel of the catalog facet_entropy below and the indexed
+    engine's SearchEngine.facet_entropy: exclude_keys drops whole facet
+    keys; exclude_values drops individual "key=value" pairs BEFORE
+    probabilities are normalized — matching the reference, which
+    filters its KeyExclusions / KeyValueExclusions while accumulating
+    the stats, not afterwards (Worker::shannonKvstats,
+    reference/oscar-cmd/Workfunctions.cpp:171-233).  Pure groupBy
+    composition, no UDAF."""
     if exclude_keys:
         kv = kv.filter(~F.col("key").isin(list(exclude_keys)))
     if exclude_values:
@@ -401,6 +420,18 @@ def facet_entropy(spark: SparkSession, sf_dir: str, term: str,
                  .alias("entropy"),
                  F.count("*").cast("long").alias("n_values"))
             .orderBy(F.desc("entropy"), F.asc("key")))
+
+
+def facet_entropy(spark: SparkSession, sf_dir: str, term: str,
+                  exclude_keys: tuple[str, ...] = (),
+                  exclude_values: tuple[str, ...] = ()) -> DataFrame:
+    """Shannon entropy per facet key over a query's result set — the
+    shannonKvstats analog (Worker::shannonKvstats,
+    reference/oscar-cmd/Workfunctions.cpp:171-233: entropy-scored
+    key split suggestion, including its key / key:value exclusion
+    sets)."""
+    return entropy_over_kv(facet_stats(spark, sf_dir, term),
+                           exclude_keys, exclude_values)
 
 
 def facet_entropy_sql(term: str,

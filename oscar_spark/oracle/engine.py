@@ -41,6 +41,7 @@ class OracleIndex:
                 self.postings[t][doc_id] += 1
                 self.positions.setdefault(t, {}).setdefault(
                     doc_id, []).append(i)
+        self.field_keys: set[str] = set()
         if fields:
             from oscar_spark.config import FIELD_POS_BASE
             from oscar_spark.functions.tokenize import normalize_field_value
@@ -50,6 +51,7 @@ class OracleIndex:
                     vn = normalize_field_value(v)
                     if not (kn and vn):
                         continue
+                    self.field_keys.add(kn)
                     t = f"{kn}:{vn}"
                     self.postings.setdefault(t, {})[doc_id] = 1
                     self.positions.setdefault(t, {})[doc_id] = \
@@ -140,7 +142,7 @@ class OracleIndex:
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), ties broken score DESC then doc_id ASC."""
-        node = parser.parse(query)
+        node = parser.parse(query, field_keys=self.field_keys)
         docs = self.eval_node(node)
         terms = parser.query_terms(node, self.expand_prefix,
                                    self.expand_wild)

@@ -133,6 +133,13 @@ class SearchEngine:
         # positional payloads present → quoted queries get TRUE phrase
         # semantics; otherwise they degrade to AND (see _rewrite_prefixes)
         self.has_positions = bool(self.store.get_meta("positions", False))
+        # normalized indexed-field keys: colon words with OTHER keys
+        # ('16:30') parse as token intersections, not dead fielded leaves
+        from oscar_spark.functions.tokenize import normalize_field_value
+        self._field_keys = {
+            kn for kn in (normalize_field_value(k) for k in
+                          (self.store.get_meta("fields", []) or []))
+            if kn}
         # A7 payload-dedup stores keep payloads in a side table keyed by
         # (bucket, md5); only the payload-FETCH path joins it — metadata
         # pruning stays join-free
@@ -151,6 +158,7 @@ class SearchEngine:
             if _os.path.isdir(self.store.path("terms_ngram")) else None)
         self._term_df: dict[str, int] | None = None
         self._term_sorted: list[str] | None = None
+        self._term_sorted_rev: list[str] | None = None  # lazy suffix mirror
         self._brute_cache: DataFrame | None = None
         self._timer: _StageTimer | None = None
         self.last_stage_times: dict[str, float] | None = None
@@ -211,7 +219,23 @@ class SearchEngine:
         from oscar_spark.config import MAX_PREFIX_EXPAND
         if self._term_sorted is not None:
             if kind == "suffix":
-                hit = (t for t in self._term_sorted if t.endswith(stem))
+                # bisect on a reversed-term sorted mirror (the driver-side
+                # analog of the terms_rev parquet path below): `*stem` is
+                # a contiguous prefix range of stem[::-1] in rev order —
+                # no full-dictionary endswith scan
+                if self._term_sorted_rev is None:
+                    self._term_sorted_rev = sorted(
+                        t[::-1] for t in self._term_sorted)
+                import bisect
+                rstem = stem[::-1]
+                revs = self._term_sorted_rev
+                lo = bisect.bisect_left(revs, rstem)
+                out = []
+                for i in range(lo, len(revs)):
+                    if not revs[i].startswith(rstem):
+                        break
+                    out.append(revs[i][::-1])
+                hit = out
             else:
                 hit = (t for t in self._term_sorted if stem in t)
             return sorted(hit)[:MAX_PREFIX_EXPAND]
@@ -383,45 +407,82 @@ class SearchEngine:
                                   "score": pd.array([], dtype="float64")})
             if any(not acc[t] for t in uniq):
                 return empty
-            # per term: doc → positions (blocks of one term in one range
-            # are disjoint in doc_id)
-            tpos: dict[str, dict] = {}
-            tscore: dict[str, dict] = {}
+            # per term: one sorted id array + flat positions with per-doc
+            # offsets.  Blocks of one term in one range are DISJOINT and
+            # internally sorted, so ordering blocks by first doc_id makes
+            # the concatenation globally sorted — everything downstream
+            # is numpy set algebra on sorted arrays (the vectorized form
+            # of oscar's position-list adjacency walk), no per-posting
+            # Python.
+            t_ids: dict[str, np.ndarray] = {}
+            t_sc: dict[str, np.ndarray] = {}
+            t_flat: dict[str, np.ndarray] = {}
+            t_offs: dict[str, np.ndarray] = {}
             for t in uniq:
-                posmap: dict = {}
-                scoremap: dict = {}
-                df_t = float(dfmap.get(t, 0))
-                for ids, tfs, dls, flat, offs in acc[t]:
+                blks = sorted(acc[t],
+                              key=lambda b: int(b[0][0]) if len(b[0]) else -1)
+                ids = np.concatenate([b[0] for b in blks]).astype(np.int64)
+                cnts = np.concatenate(
+                    [(b[4][1:] - b[4][:-1]) for b in blks])
+                offs = np.zeros(len(ids) + 1, dtype=np.int64)
+                np.cumsum(cnts, out=offs[1:])
+                t_ids[t] = ids
+                t_flat[t] = np.concatenate(
+                    [b[3] for b in blks]).astype(np.int64)
+                t_offs[t] = offs
+                if not docs_only:
                     # docs_only (set-algebra membership): skip scoring —
                     # the brute path re-scores matched docs itself, so
                     # computing BM25 here would be pure double work
-                    sc = None if docs_only else bm25_np(
+                    tfs = np.concatenate([b[1] for b in blks])
+                    dls = np.concatenate([b[2] for b in blks])
+                    t_sc[t] = bm25_np(
                         tfs.astype(np.float64), dls.astype(np.float64),
-                        df_t, n_docs, avgdl)
-                    for j, d in enumerate(ids.tolist()):
-                        posmap[d] = flat[offs[j]:offs[j + 1]]
-                        if sc is not None:
-                            scoremap[d] = sc[j]
-                tpos[t] = posmap
-                tscore[t] = scoremap
-            cand = set(tpos[uniq[0]])
+                        float(dfmap.get(t, 0)), n_docs, avgdl)
+            cand = t_ids[uniq[0]]
             for t in uniq[1:]:
-                cand &= set(tpos[t])
-            out_ids, out_sc = [], []
-            for d in cand:
-                starts = set(tpos[toks[0]][d].tolist())
-                for i, t in enumerate(toks[1:], start=1):
-                    starts &= {p - i for p in tpos[t][d].tolist()}
-                    if not starts:
-                        break
-                if starts:
-                    out_ids.append(d)
-                    out_sc.append(0.0 if docs_only else
-                                  sum(tscore[t][d] for t in uniq))
-            if not out_ids:
-                return empty
-            ids_a = np.array(out_ids, dtype=np.int64)
-            sc_a = np.array(out_sc, dtype=np.float64)
+                cand = np.intersect1d(cand, t_ids[t], assume_unique=True)
+                if cand.size == 0:
+                    return empty
+            # candidate-doc positions of term t as sorted composite keys
+            # (doc_rank << 32 | position): membership of "(doc, p+i) in
+            # term_i's positions" becomes one searchsorted per token
+            key_cache: dict[str, np.ndarray] = {}
+
+            def cand_keys(t: str) -> np.ndarray:
+                got = key_cache.get(t)
+                if got is None:
+                    idx = np.searchsorted(t_ids[t], cand)
+                    offs, flat = t_offs[t], t_flat[t]
+                    lens = offs[idx + 1] - offs[idx]
+                    csum = np.zeros(len(idx) + 1, dtype=np.int64)
+                    np.cumsum(lens, out=csum[1:])
+                    gather = (np.arange(csum[-1], dtype=np.int64)
+                              - np.repeat(csum[:-1], lens)
+                              + np.repeat(offs[idx], lens))
+                    drep = np.repeat(
+                        np.arange(cand.size, dtype=np.int64), lens)
+                    got = (drep << 32) | flat[gather]
+                    key_cache[t] = got
+                return got
+
+            starts = cand_keys(toks[0])
+            for i, t in enumerate(toks[1:], start=1):
+                keys_i = cand_keys(t)
+                want = starts + i
+                hit = np.searchsorted(keys_i, want)
+                hit_c = np.minimum(hit, keys_i.size - 1)
+                starts = starts[keys_i[hit_c] == want]
+                if starts.size == 0:
+                    return empty
+            matched = np.unique(starts >> np.int64(32))
+            ids_a = cand[matched]
+            if docs_only:
+                sc_a = np.zeros(ids_a.size, dtype=np.float64)
+            else:
+                sc_a = np.zeros(ids_a.size, dtype=np.float64)
+                for t in uniq:
+                    sc_a += t_sc[t][np.searchsorted(t_ids[t], ids_a)]
             if local_k is not None and len(ids_a) > local_k:
                 order = np.lexsort((ids_a, -sc_a))[:local_k]
                 ids_a, sc_a = ids_a[order], sc_a[order]
@@ -510,7 +571,7 @@ class SearchEngine:
         RESULT is consumed (search() finalizes the last stage; a caller
         collecting the DataFrame itself can call _finish_timer())."""
         self._timer = _StageTimer()
-        node = parser.parse(query)
+        node = parser.parse(query, field_keys=self._field_keys)
         self._timer.mark("parse")
         node = self._rewrite_prefixes(node)
         self._timer.mark("expand")
@@ -644,6 +705,89 @@ class SearchEngine:
             [(int(r["doc_id"]), float(r["score"])) for r in seed_top],
             "doc_id long, score double")
         return rest_scored.unionByName(seed_df)
+
+    # ---- facets over a parsed query's RESULT SET (Worker::kvstats /
+    # shannonKvstats over a completion's items,
+    # reference/oscar-cmd/Workfunctions.cpp:134-233, fed by the CQR of
+    # doClusteredComplete, reference/oscar-cmd/LiveCompleter.cpp:222-227).
+    # The store needs no side table: fielded composite terms (`lang:en`,
+    # built with fields=(...)) carry posting lists, so the count of
+    # (key, value) over matched docs is |postings(key:value) ∩ docs| —
+    # one decode + semi-join per facet job, reusing the query machinery.
+    def _docs_for_query(self, query: str) -> DataFrame:
+        """Full (unranked) doc-id set matching a parsed query — set
+        algebra, prefix/suffix expansion, and phrase leaves included."""
+        node = self._rewrite_prefixes(
+            parser.parse(query, field_keys=self._field_keys))
+        terms = parser.query_terms(node)
+        dfmap = self.term_stats(terms)
+        self._release_brute_cache()
+        if node[0] == "empty" or not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        decoded = self._decoded(
+            [t for t in terms if dfmap.get(t, 0) > 0], dfmap).cache()
+        self._brute_cache = decoded
+        return self._eval_node(node, decoded, dfmap)
+
+    def _facet_value_terms(self, key_norm: str, cap: int) -> list[str]:
+        """All `key:value` dictionary terms of one facet key (prefix
+        range scan on the sorted dictionary; cap >> MAX_PREFIX_EXPAND
+        because a facet wants every value, not a query expansion)."""
+        stem = key_norm + ":"
+        if self._term_sorted is not None:
+            import bisect
+            lo = bisect.bisect_left(self._term_sorted, stem)
+            out = []
+            for t in self._term_sorted[lo:lo + cap]:
+                if not t.startswith(stem):
+                    break
+                out.append(t)
+            return out
+        rows = (self.terms.filter(F.col("term").startswith(stem))
+                .select("term").orderBy("term").limit(cap).collect())
+        return [r["term"] for r in rows]
+
+    def facet_stats(self, query: str, keys: list[str] | None = None,
+                    max_values: int = 10_000) -> DataFrame:
+        """(key, value, cnt) facet counts over the docs matching
+        `query` (any §2.6 expression: set ops, phrases, prefixes).
+        keys defaults to every field indexed at build time
+        (fields=(...)); a store built without fields yields no rows."""
+        from oscar_spark.functions.tokenize import normalize_field_value
+        raw_keys = (list(keys) if keys is not None
+                    else list(self.store.get_meta("fields", []) or []))
+        kns = [kn for kn in (normalize_field_value(k) for k in raw_keys)
+               if kn]
+        empty = self.spark.createDataFrame(
+            [], "key string, value string, cnt long")
+        if not kns:
+            return empty
+        fterms: list[str] = []
+        for kn in kns:
+            fterms += self._facet_value_terms(kn, max_values)
+        if not fterms:
+            return empty
+        docs = self._docs_for_query(query)
+        fmap = self.term_stats(fterms)
+        fdec = self._decoded(
+            [t for t in fterms if fmap.get(t, 0) > 0], fmap) \
+            .select("term", "doc_id")
+        return (fdec.join(docs, "doc_id")
+                .withColumn("key", F.substring_index("term", ":", 1))
+                .withColumn("value", F.substring_index("term", ":", -1))
+                .groupBy("key", "value")
+                .agg(F.count("*").cast("long").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("key"), F.asc("value")))
+
+    def facet_entropy(self, query: str,
+                      exclude_keys: tuple[str, ...] = (),
+                      exclude_values: tuple[str, ...] = (),
+                      keys: list[str] | None = None) -> DataFrame:
+        """Per-key Shannon entropy over the query's facet counts — the
+        shannonKvstats analog, sharing the catalog operator's kernel."""
+        from oscar_spark.operators.fulltext_sql import entropy_over_kv
+        return entropy_over_kv(self.facet_stats(query, keys),
+                               exclude_keys, exclude_values)
 
     def _finish_timer(self) -> None:
         if self._timer is not None:

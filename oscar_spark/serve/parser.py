@@ -17,6 +17,15 @@ Grammar (pinned; shared verbatim by oracle and Spark executor):
     '\\'      escapes the next character into the current word (the
               reference escape set is `-+/\\^$[]() `,
               reference/oscar-cmd/CompletionStringCreators.cpp:6-15)
+    'key:val' fielded composite leaf (@key:value analog,
+              reference/oscar-create/TextSearchTraits.h:108).  When the
+              caller provides the store's indexed-field keys
+              (parse(field_keys=...), as SearchEngine and OracleIndex
+              do), only colon words whose normalized key IS an indexed
+              field take this path; any other colon word ('16:30', URL
+              fragments) parses as the intersection of its tokens.
+              Bare parse() calls without field_keys keep every
+              well-formed colon word fielded.
 
 Robustness contract (FIXTURES.md §3.2, analog of
 reference/data/tests/oscar-cmd/dont_crash_test.txt): parse() NEVER raises;
@@ -92,7 +101,7 @@ def _lex(query: str):
     return out
 
 
-def _terms_node(text: str, allow_prefix: bool = True):
+def _terms_node(text: str, allow_prefix: bool = True, field_keys=None):
     """Text fragment → intersection of its normalized tokens (or EMPTY).
 
     A trailing '*' marks a prefix query (QT_PREFIX analog: the trie
@@ -108,13 +117,18 @@ def _terms_node(text: str, allow_prefix: bool = True):
     # reference/oscar-create/TextSearchTraits.h:108): both halves
     # normalize under the pinned field rule and become ONE dictionary
     # term containing ':' — which the text tokenizer can never emit,
-    # so fielded and text terms cannot collide
+    # so fielded and text terms cannot collide.  field_keys (a set of
+    # NORMALIZED keys, from the store manifest) narrows the rule: a
+    # colon word whose key is not an indexed field ('16:30', URL
+    # fragments) falls through to the intersection of its tokens
+    # instead of silently matching nothing.  field_keys=None (store
+    # unknown, e.g. bare parse() calls) keeps every colon word fielded.
     if ":" in text and "*" not in text:
         from oscar_spark.functions.tokenize import normalize_field_value
         k, _, v = text.partition(":")
         kn = normalize_field_value(k.lstrip("@"))
         vn = normalize_field_value(v)
-        if kn and vn:
+        if kn and vn and (field_keys is None or kn in field_keys):
             return ("term", f"{kn}:{vn}")
     trail = allow_prefix and text.endswith("*") and len(text) > 1
     lead = allow_prefix and text.startswith("*") and len(text) > 1
@@ -133,7 +147,7 @@ def _terms_node(text: str, allow_prefix: bool = True):
     return node if node is not None else EMPTY
 
 
-def _parse_tokens(toks, pos: int, depth: int):
+def _parse_tokens(toks, pos: int, depth: int, field_keys=None):
     node = None
     pending: str | None = None
 
@@ -158,7 +172,8 @@ def _parse_tokens(toks, pos: int, depth: int):
                 sub = (("phrase", tuple(qtoks)) if len(qtoks) > 1
                        else ("term", qtoks[0]) if qtoks else EMPTY)
             else:
-                sub = _terms_node(t[1], allow_prefix=True)
+                sub = _terms_node(t[1], allow_prefix=True,
+                                  field_keys=field_keys)
             if sub != EMPTY:
                 attach(sub)
             pos += 1
@@ -166,7 +181,7 @@ def _parse_tokens(toks, pos: int, depth: int):
             pending = t[1]
             pos += 1
         elif kind == "lparen":
-            sub, pos = _parse_tokens(toks, pos + 1, depth + 1)
+            sub, pos = _parse_tokens(toks, pos + 1, depth + 1, field_keys)
             if sub != EMPTY:
                 attach(sub)
         else:  # rparen
@@ -177,10 +192,14 @@ def _parse_tokens(toks, pos: int, depth: int):
     return (node if node is not None else EMPTY), pos
 
 
-def parse(query: str):
-    """Query string → AST.  Never raises."""
+def parse(query: str, field_keys=None):
+    """Query string → AST.  Never raises.
+
+    field_keys: optional set of NORMALIZED indexed-field keys (store
+    manifest) — colon words with other keys parse as the intersection
+    of their tokens rather than a fielded leaf (see _terms_node)."""
     try:
-        node, _ = _parse_tokens(_lex(query), 0, 0)
+        node, _ = _parse_tokens(_lex(query), 0, 0, field_keys)
         return node
     except RecursionError:
         return EMPTY
