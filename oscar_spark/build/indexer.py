@@ -604,9 +604,11 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
     (clear error); re-crawled urls arriving in LATER drops are handled
     by the append path's committed-url anti-join.
 
-    codec: posting payload codec ("varint" | "pfor" | "ef"); defaults
-    to config.POSTINGS_CODEC.  Recorded in the store manifest; serve
-    dispatches on it.
+    codec: posting payload codec ("varint" | "pfor" | "ef" | "wah");
+    defaults to config.POSTINGS_CODEC.  Recorded in the store manifest;
+    serve dispatches on it.  (The reference's 4-codec matrix analog,
+    reference/data/configs/oscar-create/index_*.json; comparison table
+    in BENCH/CODECS.md.)
     dedup_payloads: store each distinct posting payload once (A7,
     ItemIndexFactory analog) at the cost of a payload-fetch join in
     serve; recorded in the manifest, serve adapts automatically.

@@ -199,15 +199,16 @@ def encode_runs(terms: np.ndarray, rngs: np.ndarray, ids: np.ndarray,
         payloads = [bytes([f]) + pfor_encode(stream[3 * s:e])
                     for f, s, e in zip(flags.tolist(), bstarts.tolist(),
                                        v_end.tolist())]
-    elif codec == "ef":
-        # Elias-Fano ids + varint tf/dl tail; dense blocks carry no id
-        # stream (same as the varint codec's dense form)
+    elif codec in ("ef", "wah"):
+        # Elias-Fano ids / WAH bitmap + varint tf/dl tail; dense blocks
+        # carry no id stream (same as the varint codec's dense form)
+        enc = ef_encode_block if codec == "ef" else wah_encode_block
         payloads = [
             bytes([FLAG_DENSE]) + varint_encode(
                 stream[3 * s:3 * s + 2 * (e - s) + 1])
             if f == FLAG_DENSE else
-            ef_encode_block(ids[s:e], tfs[s:e], dls[s:e],
-                            int(rngs[s]) * range_size)
+            enc(ids[s:e], tfs[s:e], dls[s:e],
+                int(rngs[s]) * range_size)
             for f, s, e in zip(flags.tolist(), bstarts.tolist(),
                                bends.tolist())]
     else:
@@ -518,6 +519,133 @@ def ef_decode_block(payload: bytes, doc_count: int, range_base: int):
             tail[doc_count:].astype(np.int64))
 
 
+# ---- WAH-style bitmap codec variant ----
+# Fourth codec rung (the reference's index_wah.json variant,
+# reference/data/configs/oscar-create/index_wah.json): doc-id offsets
+# within the block's range become a word-aligned hybrid bitmap — 31
+# payload bits per literal word, fill words for runs of all-0 / all-1
+# groups.  Strongest on ultra-dense mid-df blocks (many ids per 31-bit
+# group amortize to ~1 bit/posting); tf/dl stay a varint tail, and the
+# DENSE (consecutive-ids) form is byte-identical to the varint codec's.
+# Textbook word-aligned-hybrid construction, independently implemented —
+# no reference layout copied.
+#
+# WAH word layout (uint32 little-endian):
+#   MSB=0 → literal: bits 0..30 are the 31-bit group's bitmap
+#   MSB=1 → fill:    bit 30 = fill bit, bits 0..29 = run length in
+#                    31-bit groups
+# Block payload after the 1-byte flag:
+#   explicit: [varint n_words][n_words * uint32 LE][varint tfs..dls]
+#   dense:    [varint stream: delta0, tfs, dls]   (same as varint codec)
+
+_WAH_FULL = np.uint32(0x7FFFFFFF)
+
+
+def _wah_words(offs: np.ndarray) -> np.ndarray:
+    """Sorted distinct non-negative offsets → WAH word stream.
+
+    Never materializes the uncompressed bitmap: used 31-bit groups come
+    from reduceat over the sorted offsets, gaps become 0-fill words, and
+    runs of saturated literals collapse to 1-fill words — so a sparse
+    block over a huge universe stays O(doc_count) work and bytes."""
+    word_idx = (offs // 31).astype(np.int64)
+    bit = (offs % 31).astype(np.uint32)
+    starts = np.flatnonzero(
+        np.concatenate(([True], word_idx[1:] != word_idx[:-1])))
+    uw = word_idx[starts]
+    vals = np.bitwise_or.reduceat(np.uint32(1) << bit, starts)
+    out: list[int] = []
+    nxt = 0  # next expected group index
+    run_ones = 0
+    for w, v in zip(uw.tolist(), vals.tolist()):
+        gap = w - nxt
+        if gap > 0 or v != int(_WAH_FULL):
+            if run_ones:
+                out.append(0x80000000 | 0x40000000 | run_ones)
+                run_ones = 0
+        if gap > 0:
+            out.append(0x80000000 | gap)
+        if v == int(_WAH_FULL):
+            run_ones += 1
+        else:
+            out.append(v)
+        nxt = w + 1
+    if run_ones:
+        out.append(0x80000000 | 0x40000000 | run_ones)
+    return np.asarray(out, dtype=np.uint32)
+
+
+def _wah_offsets(words: np.ndarray) -> np.ndarray:
+    """Inverse of _wah_words → sorted offset array (int64)."""
+    is_fill = (words & np.uint32(0x80000000)) != 0
+    lens = np.where(is_fill, words & np.uint32(0x3FFFFFFF),
+                    1).astype(np.int64)
+    gstart = np.zeros(len(words), dtype=np.int64)  # group index per word
+    np.cumsum(lens[:-1], out=gstart[1:])
+    pieces = []
+    lit = ~is_fill
+    if lit.any():
+        lv = (words[lit] & _WAH_FULL).astype(np.uint32)
+        bits = ((lv[:, None] >> np.arange(31, dtype=np.uint32))
+                & np.uint32(1)).astype(bool)
+        li, bi = np.nonzero(bits)  # row-major → already sorted
+        pieces.append(gstart[lit][li] * 31 + bi)
+    ones = is_fill & (((words >> np.uint32(30)) & np.uint32(1)) == 1)
+    for g0, ln in zip(gstart[ones].tolist(), lens[ones].tolist()):
+        pieces.append(np.arange(g0 * 31, (g0 + ln) * 31, dtype=np.int64))
+    if not pieces:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(pieces))
+
+
+def wah_encode_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                     dls: np.ndarray, range_base: int) -> bytes:
+    """WAH twin of encode_block: ids as a compressed bitmap of offsets
+    from range_base, tf/dl as a varint tail; dense form = varint's."""
+    flag, stream = _block_stream(doc_ids, tfs, dls, range_base)
+    if flag == FLAG_DENSE:
+        return bytes([flag]) + varint_encode(stream)
+    offs = (np.ascontiguousarray(doc_ids, dtype=np.int64) - range_base)
+    words = _wah_words(offs)
+    tail = np.concatenate([np.ascontiguousarray(tfs, dtype=np.uint64),
+                           np.ascontiguousarray(dls, dtype=np.uint64)])
+    return (bytes([flag])
+            + varint_encode(np.array([len(words)], dtype=np.uint64))
+            + words.astype("<u4").tobytes() + varint_encode(tail))
+
+
+def wah_decode_block(payload: bytes, doc_count: int, range_base: int):
+    flag = payload[0]
+    if flag == FLAG_DENSE:
+        return _stream_to_block(varint_decode(payload[1:]), flag,
+                                doc_count, range_base)
+    if flag != FLAG_EXPLICIT:
+        raise ValueError(f"unknown block flag {flag}")
+    i = 1
+    n_words = 0
+    shift = 0
+    while True:
+        c = payload[i]; i += 1
+        n_words |= (c & 0x7F) << shift
+        shift += 7
+        if not c & 0x80:
+            break
+    words = np.frombuffer(payload, dtype="<u4", count=n_words, offset=i)
+    i += 4 * n_words
+    offs = _wah_offsets(words)
+    if offs.shape[0] != doc_count:
+        raise ValueError(
+            f"corrupt wah block: {offs.shape[0]} bits set for "
+            f"doc_count={doc_count}")
+    tail = varint_decode(payload[i:])
+    if tail.shape[0] != 2 * doc_count:
+        raise ValueError(
+            f"corrupt wah block: {tail.shape[0]} tail values for "
+            f"doc_count={doc_count}")
+    return (offs + range_base, tail[:doc_count].astype(np.int64),
+            tail[doc_count:].astype(np.int64))
+
+
 def decode_block_v1(payload: bytes, doc_count: int, range_base: int):
     """Format-1 (pre-flag-byte) payloads: the whole payload is one
     varint stream in EXPLICIT layout (no dense form existed).  Kept so
@@ -535,7 +663,7 @@ def decode_block_v1(payload: bytes, doc_count: int, range_base: int):
 PAYLOAD_FORMAT = 2
 
 BLOCK_DECODERS = {"varint": decode_block, "pfor": pfor_decode_block,
-                  "ef": ef_decode_block}
+                  "ef": ef_decode_block, "wah": wah_decode_block}
 
 
 def block_decoder(codec: str, payload_format: int = PAYLOAD_FORMAT):
