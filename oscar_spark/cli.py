@@ -41,7 +41,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--offset", type=int, default=0,
                    help="skip the first N results (seek/pagination)")
     s.add_argument("--mode", default="auto",
-                   choices=["auto", "brute", "pruned"])
+                   choices=["auto", "brute", "pruned", "local"])
+
+    ck = sub.add_parser("check",
+                        help="store/index consistency checks "
+                             "(ConsistencyCheckers.cpp analog)")
+    ck.add_argument("--index", required=True)
 
     c = sub.add_parser("compact",
                        help="merge all committed index segments into one "
@@ -88,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
         from oscar_spark.build.indexer import compact_index
         print(json.dumps(compact_index(spark, args.index)))
         return 0
+
+    if args.cmd == "check":
+        from oscar_spark.build.check import check_index
+        res = check_index(spark, args.index)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
 
     from oscar_spark.serve.executor import SearchEngine
     eng = SearchEngine(spark, args.index)

@@ -15,9 +15,15 @@ loading ItemIndex data) → two execution strategies:
   global TakeOrdered(k).  The dual-path partner (analog of the cqr==tcqr
   assert at reference/oscar-cmd/Workfunctions.cpp:1169-1191).
 
+- local (default for single/AND/OR queries whose total candidate
+  postings sit below PRUNE_MIN_POSTINGS): ONE pruned collect job, then
+  decode + BM25 + top-k driver-side — the analog of oscar serving from
+  the mmap'd index inside the server process.  Same kernel as the
+  distributed path (value-identical by construction).
+
 - pruned ("block-max WAND at range granularity", default for
-  single/AND/OR queries): ranges are oscar's cells; per-(term,range)
-  block metadata carries max_score (the block-max).
+  single/AND/OR queries above the threshold): ranges are oscar's cells;
+  per-(term,range) block metadata carries max_score (the block-max).
     phase A: rank candidate ranges by Σ_term max_score upper bound
              (metadata-only job), exactly score the top seed ranges,
              θ := k-th best seed score — a valid final-threshold lower
@@ -76,6 +82,52 @@ class _StageTimer:
 
 SERVE_STAGES = ["parse", "expand", "term_lookup", "meta_prune",
                 "seed_score", "rest_score_topk"]
+
+
+def _score_pdf(pdf: pd.DataFrame, decode, dfmap: dict[str, int],
+               n_docs: float, avgdl: float, require_all: int | None,
+               local_k: int | None) -> pd.DataFrame:
+    """Decode + BM25 + per-doc sum over one batch of posting blocks —
+    the single scoring kernel shared by the distributed per-range
+    applyInPandas path (_score_ranges) and the driver-local small-query
+    path (_score_local), so both are value-identical by construction.
+
+    Blocks are sorted by (term, range_id) first: float addition is
+    non-associative, and without a pinned order each doc's per-term
+    score sum depends on shuffle arrival order — the two paths (and
+    even two runs of one path) could differ in the last ulp."""
+    if len(pdf):
+        pdf = pdf.sort_values(["term", "range_id"], kind="mergesort")
+    all_ids, all_scores = [], []
+    for term, payload, doc_count, range_id in zip(
+            pdf["term"], pdf["payload"], pdf["doc_count"],
+            pdf["range_id"]):
+        ids, tfs, dls = decode(
+            bytes(payload), int(doc_count), int(range_id) * RANGE_SIZE)
+        df_t = float(dfmap.get(term, 0))
+        if df_t <= 0:
+            continue
+        all_ids.append(ids)
+        all_scores.append(bm25_np(
+            tfs.astype(np.float64), dls.astype(np.float64),
+            df_t, n_docs, avgdl))
+    if not all_ids:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    ids = np.concatenate(all_ids)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    ssum = np.zeros(len(uniq))
+    np.add.at(ssum, inv, scores)
+    if require_all is not None:
+        cnt = np.bincount(inv, minlength=len(uniq))
+        keep = cnt == require_all
+        uniq, ssum = uniq[keep], ssum[keep]
+    if local_k is not None and len(uniq) > local_k:
+        order = np.lexsort((uniq, -ssum))[:local_k]
+        uniq, ssum = uniq[order], ssum[order]
+    return pd.DataFrame({"doc_id": uniq.astype(np.int64),
+                         "score": ssum})
 
 
 def _tree_shape(node) -> str:
@@ -339,39 +391,36 @@ class SearchEngine:
         decode = self._decode
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            all_ids, all_scores = [], []
-            for term, payload, doc_count, range_id in zip(
-                    pdf["term"], pdf["payload"], pdf["doc_count"],
-                    pdf["range_id"]):
-                ids, tfs, dls = decode(
-                    bytes(payload), int(doc_count), int(range_id) * RANGE_SIZE)
-                df_t = float(dfmap.get(term, 0))
-                if df_t <= 0:
-                    continue
-                all_ids.append(ids)
-                all_scores.append(bm25_np(
-                    tfs.astype(np.float64), dls.astype(np.float64),
-                    df_t, n_docs, avgdl))
-            if not all_ids:
-                return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                     "score": pd.array([], dtype="float64")})
-            ids = np.concatenate(all_ids)
-            scores = np.concatenate(all_scores)
-            uniq, inv = np.unique(ids, return_inverse=True)
-            ssum = np.zeros(len(uniq))
-            np.add.at(ssum, inv, scores)
-            if require_all is not None:
-                cnt = np.bincount(inv, minlength=len(uniq))
-                keep = cnt == require_all
-                uniq, ssum = uniq[keep], ssum[keep]
-            if local_k is not None and len(uniq) > local_k:
-                order = np.lexsort((uniq, -ssum))[:local_k]
-                uniq, ssum = uniq[order], ssum[order]
-            return pd.DataFrame({"doc_id": uniq.astype(np.int64),
-                                 "score": ssum})
+            return _score_pdf(pdf, decode, dfmap, n_docs, avgdl,
+                              require_all, local_k)
 
         return blocks.groupBy("range_id").applyInPandas(
             lambda key, pdf: kernel(pdf), "doc_id long, score double")
+
+    def _score_local(self, present: list[str], dfmap: dict[str, int],
+                     require_all: int | None, k: int) -> DataFrame:
+        """Driver-side scoring for SMALL candidate sets: collect the
+        (pruned, term-filtered) posting blocks in ONE Spark job and
+        decode + BM25 + top-k in-process — the analog of oscar serving
+        from its mmap'd index inside the server process.  Below
+        PRUNE_MIN_POSTINGS the decoded arrays are a few MB, and the
+        applyInPandas route costs a whole extra shuffle stage + Python
+        worker round-trip per query for work numpy does in
+        milliseconds.  Same kernel as _score_ranges (global unique-sum
+        is correct because doc ids are distinct across ranges), so the
+        two paths are value-identical by construction."""
+        rows = (self._blocks(present, meta_only=False)
+                .select("term", "range_id", "doc_count", "payload")
+                .collect())
+        pdf = pd.DataFrame({
+            "term": [r["term"] for r in rows],
+            "range_id": [r["range_id"] for r in rows],
+            "doc_count": [r["doc_count"] for r in rows],
+            "payload": [r["payload"] for r in rows]})
+        out = _score_pdf(pdf, self._decode, dfmap, float(self.n_docs),
+                         float(self.avgdl), require_all, local_k=k)
+        return self.spark.createDataFrame(
+            out, "doc_id long, score double")
 
     # ---- phrase scoring (QT_EXACT: adjacency over positional payloads;
     # per-node query-type payload analog of
@@ -599,15 +648,29 @@ class SearchEngine:
             return result.orderBy(F.desc("score"),
                                   F.asc("doc_id")).limit(k)
         if mode == "auto":
-            mode = "pruned" if shape in ("single", "and", "or") else "brute"
-        # pruned AND all_ranges score the UNION of present terms — on a
-        # general tree (NOT/XOR) that silently returns OR semantics, so
-        # both coerce to the set-algebra brute path
-        if mode in ("pruned", "all_ranges") and \
+            if shape in ("single", "and", "or"):
+                # below the pruning threshold the whole candidate set is
+                # a few MB decoded: serve it driver-locally (one pruned
+                # collect job, no shuffle/Python-worker round trip —
+                # oscar's in-process mmap serving, re-expressed)
+                total = sum(dfmap.get(t, 0) for t in terms)
+                mode = ("local" if total < self.PRUNE_MIN_POSTINGS
+                        else "pruned")
+            else:
+                mode = "brute"
+        # pruned / all_ranges / local score the UNION of present terms —
+        # on a general tree (NOT/XOR) that silently returns OR
+        # semantics, so all three coerce to the set-algebra brute path
+        if mode in ("pruned", "all_ranges", "local") and \
                 shape not in ("single", "and", "or"):
             mode = "brute"
 
-        if mode == "pruned":
+        if mode == "local":
+            present = [t for t in terms if dfmap.get(t, 0) > 0]
+            result = self._score_local(
+                present, dfmap,
+                len(terms) if shape == "and" else None, k)
+        elif mode == "pruned":
             result = self._search_pruned(terms, dfmap, shape, k)
         elif mode == "all_ranges":
             present = [t for t in terms if dfmap.get(t, 0) > 0]

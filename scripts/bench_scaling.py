@@ -492,6 +492,12 @@ spark-submit --master local[16] --py-files oscar_spark.zip oscar_spark/cli.py \\
 The bench subcommand writes the per-query CSV (cold/warm seconds, rows)
 shaped like the reference's `<out>.raw` (oscar-cmd/Benchmark.cpp:227-241).
 
+## Posting-codec variants
+
+See BENCH/CODECS.md for the varint / pfor / ef / wah payload-size and
+encode/decode comparison (scripts/codec_compare.py), the analog of the
+reference's index_*.json variant matrix.
+
 ## Measurement conditions
 
 See BENCH/CONDITIONS.md for the per-round A/B table, host-bandwidth

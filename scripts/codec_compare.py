@@ -1,4 +1,5 @@
-"""Posting-codec comparison: varint vs pfor vs ef on the bench fixture.
+"""Posting-codec comparison: varint vs pfor vs ef vs wah on the bench
+fixture.
 
 The analog of the reference's index-variant config matrix
 (reference/data/configs/oscar-create/index_rlede.json / index_wah.json /
@@ -23,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CODECS = ["varint", "pfor", "ef"]
+CODECS = ["varint", "pfor", "ef", "wah"]
 DECODE_QUERIES = ["the", "of + and + to", "war history world", "wd0042"]
 
 
@@ -99,7 +100,7 @@ def main() -> None:
 
     base = rows[0]["payload_bytes"]
     md = [
-        "# Posting-codec comparison (varint / pfor / ef)",
+        "# Posting-codec comparison (varint / pfor / ef / wah)",
         "",
         f"Corpus: {args.pages} fixture pages at local[{args.cores}]; "
         "encode = build postings-stage wall (warm, 2nd build); decode = "

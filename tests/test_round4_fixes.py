@@ -356,3 +356,55 @@ def test_wah_codec_end_to_end(spark, pages_df, tmp_path):
         expected = oracle.search(q, k=10)
         got = eng.search(q, k=10)
         assert [x for x, _ in got] == [x for x, _ in expected], q
+
+
+# ---- driver-local small-query serve path (auto below
+# PRUNE_MIN_POSTINGS): value-identical to pruned and brute ----
+
+def test_local_serve_matches_spark_paths(spark, built_index):
+    from oscar_spark.serve.executor import SearchEngine
+    d, _ = built_index
+    eng = SearchEngine(spark, d)
+    for q in ["the", "city + state", "war history world", "wd0042",
+              "of and to in"]:
+        local = eng.search(q, k=10, mode="local")
+        pruned = eng.search(q, k=10, mode="pruned")
+        brute = eng.search(q, k=10, mode="brute")
+        # local and pruned share one kernel with a pinned block order —
+        # bit-identical; brute sums in Spark (its own float order), so
+        # its scores may differ in the last ulp
+        assert local == pruned, q
+        assert [i for i, _ in local] == [i for i, _ in brute], q
+        for (_, a), (_, b) in zip(local, brute):
+            assert abs(a - b) <= 1e-9 * max(abs(a), 1.0), q
+    # auto picks local below the threshold (test corpus is tiny)
+    assert eng.search("the", k=10, mode="auto") == \
+        eng.search("the", k=10, mode="local")
+
+
+# ---- store consistency checker (ConsistencyCheckers.cpp analog) ----
+
+def test_check_index_green_on_fresh_and_appended(spark, built_index):
+    from oscar_spark.build.check import check_index
+    d, _ = built_index
+    res = check_index(spark, d)
+    assert res["ok"], res["checks"]
+    assert set(res["checks"]) >= {
+        "stages_committed", "doc_stats_keys_unique", "doc_ids_contiguous",
+        "meta_counts_match", "terms_df_equals_postings",
+        "terms_bucket_is_hash", "postings_bucket_is_hash",
+        "block_ranges_strictly_increasing", "payload_decode_sample"}
+
+
+def test_check_index_catches_meta_corruption(spark, tmp_path):
+    from oscar_spark.build.check import check_index
+    from oscar_spark.build.indexer import build_index
+    from oscar_spark.fixtures.pages import pages_spark_df
+    from oscar_spark.sources.tables import IndexStore
+    d = str(tmp_path / "cidx")
+    build_index(spark, pages_spark_df(spark, 60), d)
+    store = IndexStore(d)
+    store.set_meta("n_docs", 999999)
+    res = check_index(spark, d)
+    assert not res["ok"]
+    assert not res["checks"]["meta_counts_match"]["ok"]
