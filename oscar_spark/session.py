@@ -50,5 +50,12 @@ def get_spark(app: str = "oscar-spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # v2 file-output commit: v1's job-commit phase renames every
+        # task's output SEQUENTIALLY on the driver — a per-write-job
+        # FIXED cost (the build runs 5+ write jobs of ~100 files each)
+        # that dilutes N→4N scaling at bench sizes and adds nothing on
+        # a real cluster with a cloud committer
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
     )
     return builder.getOrCreate()
