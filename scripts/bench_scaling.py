@@ -296,36 +296,64 @@ def main() -> None:
                     time.sleep(int(os.environ.get("STORM_SLEEP", "120")))
                     continue
                 pr = []
-                for cores in (args.n, args.n * 4):
+                mc_mid = ac_mid = None
+                for i, cores in enumerate((args.n, args.n * 4)):
                     out_dir = os.path.join(tmp, f"idx{cores}_a{attempt}")
                     print(f"  building at local[{cores}] ...",
                           file=sys.stderr)
                     pr.append(run_build(cores, pages_path, out_dir))
-                # the legs take minutes while the probe samples one —
-                # storms returning MID-LEG produced probe-calm pairs at
-                # 0.44 efficiency.  Probe again AFTER the legs; the
-                # pair counts only if the window HELD (both probes of
-                # both resources clear their thresholds).
+                    if i == 0:
+                        # protocol v3 (pre-registered round 4, after
+                        # 960k attempt 19: pre/post probes held at
+                        # 0.869-1.469 yet efficiency read 0.393 — an
+                        # 8-minute window leaves each multi-minute leg
+                        # a blind spot).  Probe BETWEEN the legs too;
+                        # a storm arriving during either leg now
+                        # quarantines the pair instead of silently
+                        # deflating (storm in 4N leg) or INFLATING
+                        # (storm in N leg) the ratio.
+                        mc_mid = mem_ceiling(args.n)
+                        ac_mid = hw_ceiling(args.n)
+                        if min(mc_mid, mc) < args.calm_thresh or \
+                                min(ac_mid, ac) < 0.9:
+                            print(f"  attempt {attempt}: window broke "
+                                  f"after N leg (mem {mc:.3f}→"
+                                  f"{mc_mid:.3f}, alu {ac:.3f}→"
+                                  f"{ac_mid:.3f}) — 4N leg skipped, "
+                                  "quarantined", file=sys.stderr)
+                            break
+                if len(pr) < 2:
+                    all_attempts.append({"mem_ceiling": round(mc, 3),
+                                         "mem_ceiling_mid": round(mc_mid, 3),
+                                         "alu_ceiling": round(ac, 3),
+                                         "alu_ceiling_mid": round(ac_mid, 3),
+                                         "calm": False, "n": pr[0],
+                                         "broke": "after N leg"})
+                    attempt += 1
+                    continue
                 mc_post = mem_ceiling(args.n)
                 ac_post = hw_ceiling(args.n)
-                held = min(mc, mc_post) >= args.calm_thresh and \
-                    min(ac, ac_post) >= 0.9
+                held = min(mc, mc_mid, mc_post) >= args.calm_thresh and \
+                    min(ac, ac_mid, ac_post) >= 0.9
                 e = pr[1]["docs_per_sec"] / (4.0 * pr[0]["docs_per_sec"])
                 print(f"  attempt {attempt}: {pr[0]['docs_per_sec']} / "
                       f"{pr[1]['docs_per_sec']} docs/s, eff {e:.3f} "
-                      f"(mem {mc:.3f}→{mc_post:.3f}, "
-                      f"alu {ac:.3f}→{ac_post:.3f}, "
+                      f"(mem {mc:.3f}→{mc_mid:.3f}→{mc_post:.3f}, "
+                      f"alu {ac:.3f}→{ac_mid:.3f}→{ac_post:.3f}, "
                       f"{'HELD' if held else 'window broke — quarantined'})",
                       file=sys.stderr)
                 all_attempts.append({"mem_ceiling": round(mc, 3),
+                                     "mem_ceiling_mid": round(mc_mid, 3),
                                      "mem_ceiling_post": round(mc_post, 3),
                                      "alu_ceiling": round(ac, 3),
+                                     "alu_ceiling_mid": round(ac_mid, 3),
                                      "alu_ceiling_post": round(ac_post, 3),
                                      "calm": held, "n": pr[0],
                                      "4n": pr[1],
                                      "efficiency": round(e, 4)})
                 if held:
-                    calm_pairs.append((min(mc, mc_post), pr[0], pr[1]))
+                    calm_pairs.append((min(mc, mc_mid, mc_post),
+                                       pr[0], pr[1]))
                 attempt += 1
             if not calm_pairs:
                 raise SystemExit(
@@ -345,11 +373,12 @@ def main() -> None:
             results[0]["pair_mem_ceilings"] = [round(mc, 3)
                                                for mc, _, _ in calm_pairs]
             results[0]["protocol"] = (
-                f"calm-window: a pair counts only when bandwidth-ceiling "
-                f"probes (>= {args.calm_thresh}) AND ALU-ceiling probes "
-                f"(>= 0.9) both immediately before and immediately after "
-                f"its legs all clear — the window must HOLD across the "
-                f"measurement; {len(calm_pairs)} held pairs kept, "
+                f"calm-window v3: a pair counts only when bandwidth-"
+                f"ceiling probes (>= {args.calm_thresh}) AND ALU-ceiling "
+                f"probes (>= 0.9) immediately before, BETWEEN the legs, "
+                f"and immediately after all clear — the window must HOLD "
+                f"across the whole measurement; "
+                f"{len(calm_pairs)} held pairs kept, "
                 f"{sum(1 for a in all_attempts if not a['calm'])} storm/"
                 f"broken-window attempts quarantined "
                 f"(BENCH/pairs_raw.json)")
