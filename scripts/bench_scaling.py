@@ -532,6 +532,12 @@ reference's index_*.json variant matrix.
 See BENCH/CONDITIONS.md for the per-round A/B table, host-bandwidth
 ceiling log, and the quiet-window measurement protocol.
 """
+    # the hand-written capability-evidence / measurement-model section
+    # lives in its own file so an auto-rewrite of BASELINE.md (this
+    # function) can never destroy it — append verbatim if present
+    if os.path.exists("BENCH/CAPABILITY.md"):
+        with open("BENCH/CAPABILITY.md") as f:
+            md += "\n" + f.read()
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({"efficiency": round(eff, 4),
