@@ -24,6 +24,10 @@ SF1 = "/root/testdata/sf0.001"
 BM25_AND_TERMS = ["data", "spark"]
 BM25_OR_TERMS = ["vector", "stream"]
 SET_A, SET_B = "window", "batch"
+# full-grammar facet query: (term OR phrase) MINUS prefix, AND fielded —
+# exercises the parsed-query → result-set → kvstats composition
+# (Worker::kvstats over a completion's CQR) through the driver oracle
+FACET_QUERY = '(data + "order scan") - qu* lang:en'
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -58,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_facet_entropy_excl": lambda s, d: fts.facet_entropy(
             s, d, "data", exclude_keys=("source",),
             exclude_values=("lang=en",)),
+        # facets over a PARSED query's result set (set ops + phrase +
+        # prefix + fielded leaves), not just a single term
+        "fts_facet_results": lambda s, d: fts.facet_stats_query(
+            s, d, FACET_QUERY),
         # --- dedup suite ---
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_sigs": dedup.minhash_signatures,
@@ -133,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_facet_entropy": fts.facet_entropy_sql("data"),
         "fts_facet_entropy_excl": fts.facet_entropy_sql(
             "data", exclude_keys=("source",), exclude_values=("lang=en",)),
+        "fts_facet_results": fts.facet_stats_query_sql(FACET_QUERY),
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_minhash_sigs": dedup.MINHASH_SQL,
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),

@@ -374,11 +374,7 @@ def facet_stats(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
     hits = (tokens(docs).filter(F.col("term") == term)
             .select("doc_id").distinct())
     matched = docs.join(hits, "doc_id")
-    kv = matched.select(
-        F.lit("lang").alias("key"), F.col("lang").alias("value")).union(
-        matched.select(F.lit("source").alias("key"),
-                       F.col("source").alias("value")))
-    return (kv.groupBy("key", "value")
+    return (_facet_kv(matched).groupBy("key", "value")
             .agg(F.count("*").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("key"), F.asc("value")))
 
@@ -388,6 +384,148 @@ def facet_stats_sql(term: str) -> str:
         TOK_CTE +
         f", hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
         ", matched AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))"
+        ", kv AS (SELECT 'lang' AS key, lang AS value FROM matched"
+        " UNION ALL SELECT 'source' AS key, source AS value FROM matched)"
+        " SELECT key, value, CAST(COUNT(*) AS BIGINT) AS cnt FROM kv"
+        " GROUP BY key, value ORDER BY cnt DESC, key, value")
+
+
+def query_ids(docs: DataFrame, node) -> DataFrame:
+    """Parsed-query AST → DataFrame[doc_id] (the result-set half of the
+    reference's kvstats-over-a-completion: LiveCompleter.cpp:222-227
+    produces the CQR the facet workers consume).  Shares the pinned
+    parser AST (serve/parser.py) with the indexed engine and the
+    OracleIndex — only the execution strategy differs: every leaf is a
+    declarative filter over the token/doc tables and every combinator a
+    join/union, so Catalyst sees one plan (no driver-side set algebra).
+
+    Leaves: term (incl. `key:value` fielded → normalized column match),
+    prefix/suffix/substr (dictionary LIKE range), phrase (n-1 positional
+    self-equi-joins on (doc_id, pos+i) — shuffles by doc, never fans out
+    beyond per-doc occurrences), empty.  Combinators: and/or/not/xor."""
+    kind = node[0]
+    if kind == "empty":
+        return docs.select("doc_id").limit(0)
+    if kind == "term":
+        t = node[1]
+        if ":" in t:  # fielded composite leaf — column match on documents
+            k, _, v = t.partition(":")
+            return (docs.filter(_field_norm_expr(k) == v)
+                    .select("doc_id"))
+        return (tokens(docs).filter(F.col("term") == t)
+                .select("doc_id").distinct())
+    if kind in ("prefix", "suffix", "substr"):
+        stem = node[1]
+        cond = {"prefix": F.col("term").startswith(stem),
+                "suffix": F.col("term").endswith(stem),
+                "substr": F.col("term").contains(stem)}[kind]
+        return tokens(docs).filter(cond).select("doc_id").distinct()
+    if kind == "phrase":
+        toks = list(node[1])
+        tp = tokens_pos(docs)
+        match = (tp.filter(F.col("term") == toks[0])
+                 .select("doc_id", F.col("pos").alias("p0")))
+        for i, tok in enumerate(toks[1:], start=1):
+            nxt = (tp.filter(F.col("term") == tok)
+                   .select("doc_id", (F.col("pos") - i).alias("p0")))
+            match = match.join(nxt, ["doc_id", "p0"])
+        return match.select("doc_id").distinct()
+    l, r = query_ids(docs, node[1]), query_ids(docs, node[2])
+    if kind == "and":
+        return l.join(r, "doc_id", "left_semi")
+    if kind == "or":
+        return l.union(r).distinct()
+    if kind == "not":
+        return l.join(r, "doc_id", "left_anti")
+    if kind == "xor":
+        lt = l.withColumn("_l", F.lit(1))
+        rt = r.withColumn("_r", F.lit(1))
+        return (lt.join(rt, "doc_id", "full_outer")
+                .filter(F.col("_l").isNull() | F.col("_r").isNull())
+                .select("doc_id"))
+    raise ValueError(f"unknown AST node {kind!r}")
+
+
+def query_ids_sql(node) -> str:
+    """The same AST compiled to a DuckDB doc-id set expression (assumes
+    the tok / tokp / documents CTEs of facet_stats_query_sql are in
+    scope).  XOR expands to (L∪R)−(L∩R), duplicating the subtrees —
+    fine for an oracle, and exactly how set_op_sql spells it."""
+    kind = node[0]
+    if kind == "empty":
+        return "SELECT doc_id FROM documents WHERE 1=0"
+    if kind == "term":
+        t = node[1]
+        if ":" in t:
+            k, _, v = t.partition(":")
+            fnorm = (f"trim(regexp_replace(lower({k}),"
+                     " '[^a-z0-9]+', '-', 'g'), '-')")
+            return f"SELECT doc_id FROM documents WHERE {fnorm} = '{v}'"
+        return f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'"
+    if kind in ("prefix", "suffix", "substr"):
+        pat = {"prefix": f"{node[1]}%", "suffix": f"%{node[1]}",
+               "substr": f"%{node[1]}%"}[kind]
+        return ("SELECT DISTINCT doc_id FROM tok"
+                f" WHERE term LIKE '{pat}'")
+    if kind == "phrase":
+        toks = list(node[1])
+        joins = "".join(
+            f" JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id AND"
+            f" t{i}.pos = t0.pos + {i} AND t{i}.term = '{tok}'"
+            for i, tok in enumerate(toks[1:], start=1))
+        return ("SELECT DISTINCT t0.doc_id FROM tokp t0" + joins +
+                f" WHERE t0.term = '{toks[0]}'")
+    l, r = query_ids_sql(node[1]), query_ids_sql(node[2])
+    if kind == "and":
+        return f"({l}) INTERSECT ({r})"
+    if kind == "or":
+        return f"({l}) UNION ({r})"
+    if kind == "not":
+        return f"({l}) EXCEPT ({r})"
+    if kind == "xor":
+        return (f"(({l}) UNION ({r})) EXCEPT"
+                f" (({l}) INTERSECT ({r}))")
+    raise ValueError(f"unknown AST node {kind!r}")
+
+
+def _facet_kv(matched: DataFrame) -> DataFrame:
+    """Doc rows → (key, value) facet pairs over the fixture's tag
+    columns (lang, source) — shared by facet_stats and
+    facet_stats_query."""
+    return matched.select(
+        F.lit("lang").alias("key"), F.col("lang").alias("value")).union(
+        matched.select(F.lit("source").alias("key"),
+                       F.col("source").alias("value")))
+
+
+def facet_stats_query(spark: SparkSession, sf_dir: str,
+                      query: str) -> DataFrame:
+    """Facet counts over the result set of a PARSED query — the full
+    kvstats analog (Worker::kvstats, reference/oscar-cmd/
+    Workfunctions.cpp:134-168, fed by doClusteredComplete's CQR,
+    LiveCompleter.cpp:222-227): the query may use the whole grammar
+    (set ops, quotes→phrase, wildcards, fielded leaves), not just a
+    single term.  Catalog twin of SearchEngine.facet_stats(query);
+    pytest asserts the two agree on a built index."""
+    from oscar_spark.serve import parser
+    node = parser.parse(query)
+    docs = load_documents(spark, sf_dir)
+    hits = query_ids(docs, node)
+    matched = docs.join(hits, "doc_id", "left_semi")
+    return (_facet_kv(matched).groupBy("key", "value")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("key"), F.asc("value")))
+
+
+def facet_stats_query_sql(query: str) -> str:
+    from oscar_spark.serve import parser
+    node = parser.parse(query)
+    return (
+        TOKP_CTE +
+        ", tok AS (SELECT doc_id, term FROM rawtok)"
+        f", ids AS ({query_ids_sql(node)})"
+        ", matched AS (SELECT d.* FROM documents d"
+        " WHERE d.doc_id IN (SELECT doc_id FROM ids))"
         ", kv AS (SELECT 'lang' AS key, lang AS value FROM matched"
         " UNION ALL SELECT 'source' AS key, source AS value FROM matched)"
         " SELECT key, value, CAST(COUNT(*) AS BIGINT) AS cnt FROM kv"

@@ -408,3 +408,55 @@ def test_check_index_catches_meta_corruption(spark, tmp_path):
     res = check_index(spark, d)
     assert not res["ok"]
     assert not res["checks"]["meta_counts_match"]["ok"]
+
+
+# ---- facets over a PARSED query's result set, catalog side with a
+# DuckDB oracle (the driver's fts_facet_results pairing) ----
+
+def _facet_duck(sql: str):
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("q", [
+    '(data + "order scan") - qu* lang:en',   # the driver's FACET_QUERY
+    'window ^ batch',                        # xor combinator
+    '*er + *at*',                            # suffix and substring leaves
+    'data spark',                            # plain intersection
+])
+def test_facet_stats_query_matches_duckdb(spark, q):
+    from oscar_spark.operators.fulltext_sql import (facet_stats_query,
+                                                    facet_stats_query_sql)
+    got = [tuple(r) for r in
+           facet_stats_query(spark, "/root/testdata/sf0.001", q).collect()]
+    want = _facet_duck(facet_stats_query_sql(q))
+    assert got == want and got, q
+
+
+def test_facet_stats_query_single_term_equals_facet_stats(spark):
+    """A one-term query must agree with the original single-term path."""
+    from oscar_spark.operators.fulltext_sql import (facet_stats,
+                                                    facet_stats_query)
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in facet_stats_query(spark, sf, "data").collect()]
+    b = [tuple(r) for r in facet_stats(spark, sf, "data").collect()]
+    assert a == b and a
+
+
+def test_facet_stats_query_degenerate_inputs(spark):
+    """parse() never raises; empty/degenerate queries yield empty facets
+    on both sides (dont_crash contract extended to the facet path)."""
+    from oscar_spark.operators.fulltext_sql import (facet_stats_query,
+                                                    facet_stats_query_sql)
+    sf = "/root/testdata/sf0.001"
+    for q in ["", "   ", "-", '""', "(((("]:
+        got = facet_stats_query(spark, sf, q).collect()
+        want = _facet_duck(facet_stats_query_sql(q))
+        assert [tuple(r) for r in got] == want == [], repr(q)
