@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix + fielded leaves), not just a single term
         "fts_facet_results": lambda s, d: fts.facet_stats_query(
             s, d, FACET_QUERY),
+        "fts_facet_entropy_results": lambda s, d: fts.facet_entropy_query(
+            s, d, FACET_QUERY, exclude_values=("lang=en",)),
         # --- dedup suite ---
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_sigs": dedup.minhash_signatures,
@@ -142,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_facet_entropy_excl": fts.facet_entropy_sql(
             "data", exclude_keys=("source",), exclude_values=("lang=en",)),
         "fts_facet_results": fts.facet_stats_query_sql(FACET_QUERY),
+        "fts_facet_entropy_results": fts.facet_entropy_query_sql(
+            FACET_QUERY, exclude_values=("lang=en",)),
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_minhash_sigs": dedup.MINHASH_SQL,
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),

@@ -532,6 +532,40 @@ def facet_stats_query_sql(query: str) -> str:
         " GROUP BY key, value ORDER BY cnt DESC, key, value")
 
 
+def facet_entropy_query(spark: SparkSession, sf_dir: str, query: str,
+                        exclude_keys: tuple[str, ...] = (),
+                        exclude_values: tuple[str, ...] = ()) -> DataFrame:
+    """Shannon-entropy facets over a PARSED query's result set — the
+    shannonKvstats twin of facet_stats_query (Workfunctions.cpp:171-233
+    applied to a completion's CQR, with the same exclusion-set
+    semantics)."""
+    return entropy_over_kv(facet_stats_query(spark, sf_dir, query),
+                           exclude_keys, exclude_values)
+
+
+def facet_entropy_query_sql(query: str,
+                            exclude_keys: tuple[str, ...] = (),
+                            exclude_values: tuple[str, ...] = ()) -> str:
+    inner = facet_stats_query_sql(query).replace(
+        " ORDER BY cnt DESC, key, value", "")
+    conds = []
+    if exclude_keys:
+        ks = ", ".join(f"'{k}'" for k in exclude_keys)
+        conds.append(f"key NOT IN ({ks})")
+    if exclude_values:
+        vs = ", ".join(f"'{v}'" for v in exclude_values)
+        conds.append(f"(key || '=' || value) NOT IN ({vs})")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return (
+        f"WITH fc AS (SELECT * FROM ({inner}){where}),"
+        " tot AS (SELECT key, SUM(cnt) AS tot"
+        " FROM fc GROUP BY key) SELECT fc.key AS key,"
+        " ROUND(-SUM((cnt/tot) * ln(cnt/tot)), 6) AS entropy,"
+        " CAST(COUNT(*) AS BIGINT) AS n_values"
+        " FROM fc JOIN tot USING (key) GROUP BY fc.key"
+        " ORDER BY entropy DESC, key")
+
+
 def entropy_over_kv(kv: DataFrame,
                     exclude_keys: tuple[str, ...] = (),
                     exclude_values: tuple[str, ...] = ()) -> DataFrame:

@@ -460,3 +460,16 @@ def test_facet_stats_query_degenerate_inputs(spark):
         got = facet_stats_query(spark, sf, q).collect()
         want = _facet_duck(facet_stats_query_sql(q))
         assert [tuple(r) for r in got] == want == [], repr(q)
+
+
+def test_facet_entropy_query_matches_duckdb(spark):
+    from oscar_spark.operators.fulltext_sql import (facet_entropy_query,
+                                                    facet_entropy_query_sql)
+    q = '(data + "order scan") - qu* lang:en'
+    got = [(k, round(e, 6), n) for k, e, n in (
+        tuple(r) for r in facet_entropy_query(
+            spark, "/root/testdata/sf0.001", q,
+            exclude_values=("lang=en",)).collect())]
+    want = [(k, round(e, 6), n) for k, e, n in _facet_duck(
+        facet_entropy_query_sql(q, exclude_values=("lang=en",)))]
+    assert got == want and got
