@@ -92,6 +92,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, stride=similarity.IVF_STRIDE),
         "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
             s, d, 0, 10, nprobe=4, stride=similarity.IVF_STRIDE),
+        # two-level (hierarchical) coarse quantizer — the 10^12-vector
+        # rung where even √n centroids exceed broadcast limits
+        "sim_ivf2_assign": lambda s, d: similarity.ivf2_assign(
+            s, d, stride=similarity.IVF_STRIDE,
+            stride0=similarity.IVF2_STRIDE0),
+        "sim_ivf2_topk": lambda s, d: similarity.ivf2_topk(
+            s, d, 0, 10, nprobe=4, w0=2, stride=similarity.IVF_STRIDE,
+            stride0=similarity.IVF2_STRIDE0),
         # banded LSH (2 bands × 32 buckets); n_planes pinned so the
         # DuckDB oracle agrees — production path auto-scales via
         # similarity.auto_planes
@@ -158,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "sim_ivf_assign": similarity.ivf_assign_sql(),
         "sim_ivf_topk": similarity.ivf_topk_sql(0, 10, 4),
+        "sim_ivf2_assign": similarity.ivf2_assign_sql(),
+        "sim_ivf2_topk": similarity.ivf2_topk_sql(0, 10, 4, 2),
         "dedup_embed_cosine": similarity.cosine_near_dup_pairs_sql(
             0.35, n_planes=5, n_bands=2),
         "mm_features": multimodal.MEDIA_FEATURES_SQL,

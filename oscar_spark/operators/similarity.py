@@ -185,8 +185,8 @@ def ivf_assign(spark: SparkSession, sf_dir: str,
     centroid table (n·k distance rows ⇒ n^1.5 with auto sizing) with
     a per-vector argmin — embarrassingly parallel, no shuffle of the
     vector table.  At corpus sizes where even √n centroids exceed
-    broadcast limits, the next rung is a hierarchical (two-level)
-    quantizer over the same machinery.
+    broadcast limits, ivf2_assign (the hierarchical two-level quantizer
+    below) removes the broadcast entirely.
     """
     emb = load_embeddings(spark, sf_dir)
     if stride is None:
@@ -334,6 +334,195 @@ def ivf_topk_sql(query_vec_id: int = 0, k: int = 10, nprobe: int = 4,
         f"probes AS (SELECT cid FROM c, q ORDER BY ROUND({cosq}, 6)"
         f" DESC, cid ASC LIMIT {nprobe}) "
         f"SELECT e.vec_id AS vec_id, ROUND({cos}, 6) AS cosine"
+        " FROM e JOIN assign ON assign.vec_id = e.vec_id"
+        " AND assign.cid IN (SELECT cid FROM probes), q"
+        f" WHERE e.vec_id != {query_vec_id}"
+        f" ORDER BY cosine DESC, vec_id ASC LIMIT {k}")
+
+
+IVF2_STRIDE0 = 4  # pinned level-0 stride for driver/oracle parity
+
+
+def ivf2_tables(emb: DataFrame, stride: int,
+                stride0: int) -> tuple[DataFrame, DataFrame]:
+    """Two-level coarse-quantizer tables from the deterministic samples:
+    supers (scid, sv) = {vec_id % (stride·stride0) == 0} and centroids
+    (cid, cv, scid) where each level-1 centroid {vec_id % stride == 0}
+    is assigned to its nearest super-centroid (cosine, round 6, ties →
+    lowest scid).  Every super-centroid is itself a centroid assigned to
+    itself (cos=1), so no super cell is empty."""
+    sstep = stride * stride0
+    cent = (emb.filter(F.col("vec_id") % stride == 0)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    sup = (emb.filter(F.col("vec_id") % sstep == 0)
+           .select(F.col("vec_id").alias("scid"),
+                   F.col("embedding").alias("sv")))
+    ccos = _dot(F.col("cv"), F.col("sv")) / \
+        (_norm(F.col("cv")) * _norm(F.col("sv")))
+    cscored = (cent.crossJoin(F.broadcast(sup))
+               .select("cid", "scid", F.round(ccos, 6).alias("cs")))
+    cbest = (cscored.groupBy("cid")
+             .agg(F.max(F.struct(F.col("cs"), (-F.col("scid")).alias("ns")))
+                  .alias("b"))
+             .select("cid", (-F.col("b.ns")).alias("scid")))
+    return sup, cent.join(cbest, "cid")
+
+
+def ivf2_assign(spark: SparkSession, sf_dir: str,
+                stride: int | None = None,
+                stride0: int | None = None) -> DataFrame:
+    """Two-level (hierarchical) IVF coarse quantizer — the next rung
+    above ivf_assign for corpora where even the √n level-1 centroid
+    table is too large to broadcast (10^12 vectors → 10^6 centroids ×
+    d floats ≈ hundreds of MB).  Level 0 holds k0 ≈ n^(1/4)
+    super-centroids (broadcastable at ANY realistic n); each vector
+    finds its nearest super cell against that broadcast, then competes
+    only against the ~√k1 centroids OF THAT CELL via a shuffle join on
+    scid — per-vector work k0 + k1/k0 ≈ 2·n^(1/4) instead of k1 = √n,
+    and the full centroid table is never broadcast.  Deterministic
+    sampling (vec_id strides) and tie rules, so DuckDB replicates the
+    exact assignment.  → (vec_id, scid, cid, cos).
+
+    Approximation note (standard for hierarchical IVF/IMI): a vector
+    whose true nearest centroid lives in a different super cell gets
+    its within-cell best instead — the recall/cost dial that makes
+    assignment sublinear; ivf2_topk widens the search with w0."""
+    emb = load_embeddings(spark, sf_dir)
+    if stride is None:
+        stride = auto_stride(emb.count())
+    if stride0 is None:
+        stride0 = auto_stride(max(emb.count() // stride, 1))
+    sup, cent = ivf2_tables(emb, stride, stride0)
+    vcos = _dot(F.col("embedding"), F.col("sv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("sv")))
+    vscored = (emb.crossJoin(F.broadcast(sup))
+               .select("vec_id", "scid", F.round(vcos, 6).alias("vs")))
+    vbest = (vscored.groupBy("vec_id")
+             .agg(F.max(F.struct(F.col("vs"), (-F.col("scid")).alias("ns")))
+                  .alias("b"))
+             .select("vec_id", (-F.col("b.ns")).alias("scid")))
+    ccos = _dot(F.col("embedding"), F.col("cv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("cv")))
+    # shuffle equi-join on scid (co-partitioned at scale), NOT a
+    # broadcast of the full centroid table — the point of level 0
+    cand = (emb.join(vbest, "vec_id").join(cent, "scid")
+            .select("vec_id", "scid", "cid",
+                    F.round(ccos, 6).alias("cos")))
+    best = (cand.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"),
+                                F.col("scid"))).alias("b"))
+            .select("vec_id", F.col("b.scid").alias("scid"),
+                    (-F.col("b.nc")).alias("cid"),
+                    F.col("b.cos").alias("cos")))
+    return best.orderBy("vec_id")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> x[1] * x[2])) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> x * x))))")
+
+
+def _ivf2_cte(stride: int, stride0: int) -> str:
+    """Shared DuckDB CTE chain: e, c (centroids), s (supers), cb
+    (centroid → super cell), vb (vector → super cell)."""
+    sstep = stride * stride0
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS"
+        " embedding FROM embeddings), "
+        f"c AS (SELECT vec_id AS cid, embedding AS cv FROM e"
+        f" WHERE vec_id % {stride} = 0), "
+        f"s AS (SELECT vec_id AS scid, embedding AS sv FROM e"
+        f" WHERE vec_id % {sstep} = 0), "
+        "cb AS (SELECT cid, cv, scid FROM (SELECT c.cid, c.cv, s.scid,"
+        " ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY"
+        f" ROUND({_duck_cos('c.cv', 's.sv')}, 6) DESC, s.scid ASC) AS rn"
+        " FROM c CROSS JOIN s) t WHERE rn = 1), "
+        "vb AS (SELECT vec_id, embedding, scid FROM (SELECT e.vec_id,"
+        " e.embedding, s.scid, ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY ROUND({_duck_cos('e.embedding', 's.sv')}, 6) DESC,"
+        " s.scid ASC) AS rn FROM e CROSS JOIN s) t WHERE rn = 1)")
+
+
+def ivf2_assign_sql(stride: int = IVF_STRIDE,
+                    stride0: int = IVF2_STRIDE0) -> str:
+    return (
+        _ivf2_cte(stride, stride0) +
+        ", vc AS (SELECT vb.vec_id, vb.scid, cb.cid,"
+        f" ROUND({_duck_cos('vb.embedding', 'cb.cv')}, 6) AS cos"
+        " FROM vb JOIN cb USING (scid)) "
+        "SELECT vec_id, scid, cid, cos FROM (SELECT *, ROW_NUMBER()"
+        " OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn"
+        " FROM vc) t WHERE rn = 1 ORDER BY vec_id")
+
+
+def ivf2_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+              k: int = 10, nprobe: int = 4, w0: int = 2,
+              stride: int | None = None,
+              stride0: int | None = None) -> DataFrame:
+    """Two-level IVF search: rank super cells against the query (k0
+    broadcast rows), take the w0 nearest, rank only THOSE cells'
+    centroids, probe the nprobe nearest, exact cosine top-k among the
+    vectors assigned (by ivf2_assign) to the probed centroids.  w0 > 1
+    recovers recall lost at super-cell boundaries — the two-level
+    recall/cost dial."""
+    emb = load_embeddings(spark, sf_dir)
+    if stride is None:
+        stride = auto_stride(emb.count())
+    if stride0 is None:
+        stride0 = auto_stride(max(emb.count() // stride, 1))
+    sup, cent = ivf2_tables(emb, stride, stride0)
+    assign = ivf2_assign(spark, sf_dir, stride, stride0) \
+        .select("vec_id", "cid")
+    qrow = emb.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").collect()[0]
+    q = spark.createDataFrame([(qrow["embedding"],)], "qv array<double>")
+    scos = _dot(F.col("sv"), F.col("qv")) / \
+        (_norm(F.col("sv")) * _norm(F.col("qv")))
+    probes0 = [r["scid"] for r in
+               sup.crossJoin(F.broadcast(q))
+               .select("scid", F.round(scos, 6).alias("c"))
+               .orderBy(F.desc("c"), F.asc("scid")).limit(w0).collect()]
+    ccos = _dot(F.col("cv"), F.col("qv")) / \
+        (_norm(F.col("cv")) * _norm(F.col("qv")))
+    probes = [r["cid"] for r in
+              cent.filter(F.col("scid").isin(probes0))
+              .crossJoin(F.broadcast(q))
+              .select("cid", F.round(ccos, 6).alias("c"))
+              .orderBy(F.desc("c"), F.asc("cid")).limit(nprobe).collect()]
+    cand = (emb.join(assign.filter(F.col("cid").isin(probes)), "vec_id")
+            .filter(F.col("vec_id") != query_vec_id))
+    cos = _dot(F.col("embedding"), F.col("qv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("qv")))
+    return (cand.crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+
+
+def ivf2_topk_sql(query_vec_id: int = 0, k: int = 10, nprobe: int = 4,
+                  w0: int = 2, stride: int = IVF_STRIDE,
+                  stride0: int = IVF2_STRIDE0) -> str:
+    return (
+        _ivf2_cte(stride, stride0) +
+        f", q AS (SELECT embedding AS qv FROM e WHERE vec_id ="
+        f" {query_vec_id}), "
+        "probes0 AS (SELECT scid FROM s, q ORDER BY"
+        f" ROUND({_duck_cos('s.sv', 'q.qv')}, 6) DESC, scid ASC"
+        f" LIMIT {w0}), "
+        "probes AS (SELECT cid FROM cb, q WHERE cb.scid IN"
+        " (SELECT scid FROM probes0) ORDER BY"
+        f" ROUND({_duck_cos('cb.cv', 'q.qv')}, 6) DESC, cid ASC"
+        f" LIMIT {nprobe}), "
+        "vc AS (SELECT vb.vec_id, cb.cid,"
+        f" ROUND({_duck_cos('vb.embedding', 'cb.cv')}, 6) AS cos"
+        " FROM vb JOIN cb USING (scid)), "
+        "assign AS (SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER()"
+        " OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn"
+        " FROM vc) t WHERE rn = 1) "
+        "SELECT e.vec_id AS vec_id,"
+        f" ROUND({_duck_cos('e.embedding', 'q.qv')}, 6) AS cosine"
         " FROM e JOIN assign ON assign.vec_id = e.vec_id"
         " AND assign.cid IN (SELECT cid FROM probes), q"
         f" WHERE e.vec_id != {query_vec_id}"
