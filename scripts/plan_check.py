@@ -131,6 +131,24 @@ def main() -> int:
               probe,
               expect_all=[r"PartitionFilters: \[.*cid"])
 
+        # 10. two-level IVF: ONLY the n^(1/4) super-centroid table is
+        # broadcast (explicit hint); the vector→centroid resolution is a
+        # shuffle equi-join on scid.  Auto-broadcast disabled so the
+        # tiny test-scale centroid table can't be silently broadcast —
+        # at 10^12 vectors it wouldn't fit, and this asserts the plan
+        # already has the shape that survives that.
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            iv2 = similarity.ivf2_assign(spark, SF, stride=32, stride0=4)
+            check("ivf2 assign (supers broadcast; centroids shuffle-join)",
+                  iv2,
+                  expect_all=[r"BroadcastNestedLoopJoin",
+                              r"SortMergeJoin|ShuffledHashJoin"],
+                  expect_none=[r"BroadcastHashJoin", r"BatchEvalPython"])
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
     n_fail = sum(1 for _, ok in checks if not ok)
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
