@@ -1141,6 +1141,23 @@ def _append_index(spark: SparkSession, pages: DataFrame, store: IndexStore,
                        stage_secs=stage_secs)
 
 
+def maybe_compact(spark: SparkSession, index_dir: str,
+                  max_segments: int) -> dict:
+    """Compaction POLICY for append pipelines: merge only once the
+    committed postings segment count exceeds max_segments, so a daily
+    drop pays O(new data) most days and the full-merge cost is
+    amortized over max_segments appends (the same amortization rule as
+    LSM/Iceberg maintenance; the reference's periodic store→store
+    re-import, reference/oscar-create/oscarcreate.cpp:86-116).
+    Callers wire it after build_index(resume=True) — e.g.
+    `cli.py build --compact-after N`."""
+    store = IndexStore(index_dir)
+    n = len(store.segments("postings"))
+    if n <= max_segments:
+        return {"compacted": False, "segments_before": n}
+    return compact_index(spark, index_dir)
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Merge every committed segment back into ONE fresh segment — the
     store→store re-import analog (reference/oscar-create/

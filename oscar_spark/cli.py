@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet path of the pages table")
     b.add_argument("--index", required=True, help="index output dir")
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--compact-after", type=int, default=None,
+                   metavar="N",
+                   help="after an append, merge segments once more than"
+                        " N postings segments have accumulated"
+                        " (amortized maintenance; see compact)")
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -81,12 +86,17 @@ def main(argv: list[str] | None = None) -> int:
         # previously only in the bench child, not the production path
         prewarm_workers(spark)
         res = build_index(spark, pages, args.index, resume=args.resume)
-        print(json.dumps({
+        out = {
             "n_docs": res.n_docs, "n_terms": res.n_terms,
             "n_blocks": res.n_blocks, "elapsed_sec": round(res.elapsed_sec, 2),
             "docs_per_sec": round(res.docs_per_sec, 1),
             "resumed_stages": res.resumed_stages,
-            "stage_secs": res.stage_secs}))
+            "stage_secs": res.stage_secs}
+        if args.compact_after is not None:
+            from oscar_spark.build.indexer import maybe_compact
+            out["compaction"] = maybe_compact(
+                spark, args.index, args.compact_after)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "compact":

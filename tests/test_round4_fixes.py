@@ -542,3 +542,36 @@ def test_ivf2_assign_structure(spark):
         if r["vec_id"] % sstep == 0:
             assert r["cid"] == r["vec_id"] == r["scid"]
             assert abs(r["cos"] - 1.0) < 1e-6
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Below the threshold: no-op.  Above: one fresh segment, results
+    identical (amortized maintenance on the append path)."""
+    from oscar_spark.build.indexer import build_index, maybe_compact
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.serve.executor import SearchEngine
+    from oscar_spark.sources.tables import IndexStore
+
+    pdf = generate_pages(220)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    _write_pages_file(pdf.iloc[:120], str(pdir / "p0.parquet"))
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.read.parquet(str(pdir)), d)
+    _write_pages_file(pdf.iloc[120:170], str(pdir / "p1.parquet"))
+    build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+    store = IndexStore(d)
+    assert len(store.segments("postings")) == 2
+    # threshold not exceeded → untouched
+    r = maybe_compact(spark, d, max_segments=2)
+    assert not r["compacted"] and len(store.segments("postings")) == 2
+    _write_pages_file(pdf.iloc[170:], str(pdir / "p2.parquet"))
+    build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+    before = {q: SearchEngine(spark, d).search(q, k=10)
+              for q in COMPACT_QUERIES[:3]}
+    r = maybe_compact(spark, d, max_segments=2)
+    assert r["compacted"] and r["segments_before"] == 3
+    assert len(store.segments("postings")) == 1
+    eng = SearchEngine(spark, d)
+    for q, want in before.items():
+        assert eng.search(q, k=10) == want, q
