@@ -575,3 +575,35 @@ def test_maybe_compact_policy(spark, tmp_path):
     eng = SearchEngine(spark, d)
     for q, want in before.items():
         assert eng.search(q, k=10) == want, q
+
+
+def test_query_ids_matches_oracle_index(spark):
+    """The catalog AST evaluator (query_ids) must agree doc-for-doc
+    with the serve-path OracleIndex on the same corpus — tying the
+    declarative evaluator to the independent reference oracle across
+    the whole grammar (fixture vocab is ASCII and far below
+    MAX_PREFIX_EXPAND, so the two tokenizer projections and the
+    oracle's expansion cap coincide)."""
+    from oscar_spark.operators.fulltext_sql import load_documents, query_ids
+    from oscar_spark.oracle.engine import OracleIndex
+    from oscar_spark.serve import parser
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    rows = docs.select("doc_id", "text", "lang", "source").collect()
+    oracle = OracleIndex(
+        [(r["doc_id"], r["text"]) for r in rows],
+        fields={r["doc_id"]: {"lang": r["lang"], "source": r["source"]}
+                for r in rows})
+    battery = [
+        "data + order", "scan - the", "hash ^ join", "qu* window",
+        '"order scan" + filter', "lang:en - data", "*er table",
+        "*at* - batch", "(data + order) (scan + the)",
+        "source:web + lang:de", '"group by"', "merge sort - slow",
+        "win* ^ *ow", "value / key", "((data - scan) ^ (order - the))",
+    ]
+    for q in battery:
+        node = parser.parse(q)
+        got = {r["doc_id"] for r in query_ids(docs, node).collect()}
+        want = oracle.eval_node(node)
+        assert got == want, q
+    assert any(oracle.eval_node(parser.parse(q)) for q in battery)
