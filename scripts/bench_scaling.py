@@ -521,6 +521,12 @@ spark-submit --master local[16] --py-files oscar_spark.zip oscar_spark/cli.py \\
 The bench subcommand writes the per-query CSV (cold/warm seconds, rows)
 shaped like the reference's `<out>.raw` (oscar-cmd/Benchmark.cpp:227-241).
 
+A separate multi-executor smoke (`python scripts/multi_executor_smoke.py`)
+runs the same build+serve through `local-cluster[2,2,2048]` — two REAL
+worker JVMs, package shipped via addPyFile (the --py-files path) —
+asserting rank-identity vs the pure-Python oracle across real process
+boundaries (measured: 2,000 pages, 2 workers + driver, 0 mismatches).
+
 ## Posting-codec variants
 
 See BENCH/CODECS.md for the varint / pfor / ef / wah payload-size and
