@@ -93,8 +93,10 @@ def main() -> int:
                    '"north south"', "wd00* + time", "((", "of and to"]
         mismatches = []
         for q in queries:
-            # mode=spark forces the distributed path (the driver-local
-            # fast path would bypass the executor boundary under test)
+            # mode="brute" pins the DISTRIBUTED scoring path — the
+            # driver-local fast path (mode="local"/auto on small
+            # candidate sets) would bypass the executor boundary
+            # under test
             got = eng.search(q, k=10, mode="brute")
             want = oracle.search(q, k=10)
             if [(d, round(s, 4)) for d, s in got] != \
