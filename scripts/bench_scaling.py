@@ -356,10 +356,17 @@ def main() -> None:
                                        pr[0], pr[1]))
                 attempt += 1
             if not calm_pairs:
+                # keep the audit trail even when the hunt fails — the
+                # quarantine log is the evidence that attempts were
+                # storm-skipped, not cherry-picked
+                os.makedirs("BENCH", exist_ok=True)
+                with open("BENCH/pairs_raw.json", "w") as f:
+                    json.dump(all_attempts, f, indent=1, default=str)
                 raise SystemExit(
                     "no calm window found within --max-attempts; "
                     "headline NOT updated (run again or raise "
-                    "--max-attempts)")
+                    "--max-attempts); attempts logged to "
+                    "BENCH/pairs_raw.json")
             pair_effs = sorted(
                 r4["docs_per_sec"] / (4.0 * rn["docs_per_sec"])
                 for _, rn, r4 in calm_pairs)
