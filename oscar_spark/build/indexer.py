@@ -574,9 +574,9 @@ def input_fingerprint(pages: DataFrame) -> str:
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 resume: bool = False,
                 codec: str | None = None,
-                dedup_payloads: bool = False,
-                positions: bool = False,
-                fields: tuple[str, ...] = ()) -> BuildResult:
+                dedup_payloads: bool | None = None,
+                positions: bool | None = None,
+                fields: tuple[str, ...] | None = None) -> BuildResult:
     """Build the full index — see _build_index_impl for the pipeline.
     This wrapper owns the session-conf scan tuning so the restore runs
     on EVERY exit (including exceptions mid-build: a leaked 4 MB
@@ -594,9 +594,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
 def _build_index_impl(spark: SparkSession, pages: DataFrame,
                       index_dir: str, resume: bool = False,
                       codec: str | None = None,
-                      dedup_payloads: bool = False,
-                      positions: bool = False,
-                      fields: tuple[str, ...] = ()) -> BuildResult:
+                      dedup_payloads: bool | None = None,
+                      positions: bool | None = None,
+                      fields: tuple[str, ...] | None = None) -> BuildResult:
     """Build the full index (doc_stats, terms, postings, lineage).
 
     Input contract: url is the document key — ONE page row per url.
@@ -620,9 +620,28 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
     fields: page columns to index as `key:value` composite tokens
     (tf=1 per doc; the @key:value fielded terms of
     reference/oscar-create/TextSearchTraits.h:108) — `lang:en` then
-    works as a query leaf; recorded in the manifest, appends inherit."""
+    works as a query leaf; recorded in the manifest, appends inherit.
+
+    All four mode knobs default to None = "unspecified": a resume over
+    an existing store INHERITS its recorded modes, so `cli.py build
+    --resume` (which passes no mode flags) appends to a positional/
+    fielded/dedup/ef store instead of silently rebuilding it as a plain
+    varint store.  Passing an explicit value still overrides — a real
+    mode FLIP rebuilds, as the append gate requires."""
     from oscar_spark.config import POSTINGS_CODEC
+    if resume:
+        _meta = IndexStore(index_dir)
+        codec = codec or _meta.get_meta("codec", None) or POSTINGS_CODEC
+        if dedup_payloads is None:
+            dedup_payloads = bool(_meta.get_meta("payload_dedup", False))
+        if positions is None:
+            positions = bool(_meta.get_meta("positions", False))
+        if fields is None:
+            fields = tuple(_meta.get_meta("fields", []) or [])
     codec = codec or POSTINGS_CODEC
+    dedup_payloads = bool(dedup_payloads)
+    positions = bool(positions)
+    fields = tuple(fields or ())
     if fields:
         # fail fast with a field-specific message: two columns whose
         # names normalize to the same key (e.g. 'Lang' and 'lang') would

@@ -607,3 +607,62 @@ def test_query_ids_matches_oracle_index(spark):
         want = oracle.eval_node(node)
         assert got == want, q
     assert any(oracle.eval_node(parser.parse(q)) for q in battery)
+
+
+def test_compact_positional_dedup_fielded_store(spark, tmp_path):
+    """Compaction over the FULL store feature matrix — positions +
+    payload-dedup (A7) + fields — preserves phrase, fielded, and set-op
+    results exactly, keeps the manifest flags, and collapses the
+    payloads side table to one globally-deduped segment.  The basic
+    compaction test covers the plain store; this pins the interactions
+    (positional payload bytes ride the postings copy verbatim; the
+    payload-hash join still resolves after segment renumbering).
+
+    The resume call passes NO mode flags on purpose: build_index must
+    inherit the store's recorded modes (positions/dedup/fields/codec)
+    and APPEND — not silently rebuild a plain store, which is what
+    `cli.py build --resume` would previously do to any moded store."""
+    from oscar_spark.build.indexer import build_index, compact_index
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.serve.executor import SearchEngine
+    from oscar_spark.sources.tables import IndexStore
+
+    pdf = generate_pages(220)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    _write_pages_file(pdf.iloc[:120], str(pdir / "p0.parquet"))
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.read.parquet(str(pdir)), d,
+                positions=True, dedup_payloads=True, fields=("lang",))
+    _write_pages_file(pdf.iloc[120:], str(pdir / "p1.parquet"))
+    build_index(spark, spark.read.parquet(str(pdir)), d, resume=True)
+
+    store = IndexStore(d)
+    assert len(store.segments("postings")) == 2
+    assert len(store.segments("payloads")) == 2
+
+    # a phrase that provably occurs: the first two >=2-char tokens of
+    # doc 0 are adjacent there by construction
+    toks = [w for w in pdf["text"].iloc[0].split() if len(w) >= 2][:2]
+    queries = [f'"{toks[0]} {toks[1]}"', "lang:en", "city + state",
+               "the - war"]
+    eng = SearchEngine(spark, d)
+    assert eng.has_positions
+    before = {q: eng.search(q, k=10) for q in queries}
+    assert before[queries[0]], "phrase query must match at least doc 0"
+    assert before["lang:en"], "fielded query must match"
+
+    out = compact_index(spark, d)
+    assert out["compacted"]
+    assert store.segments("payloads") == [out["segment"]]
+
+    eng2 = SearchEngine(spark, d)
+    assert eng2.has_positions  # manifest flags survive the swap
+    for q in queries:
+        assert eng2.search(q, k=10) == before[q], q
+        assert eng2.search(q, k=10, mode="brute") == before[q], q
+
+    # payload side table is globally deduped after the merge
+    pay = store.read(spark, "payloads")
+    assert pay.count() == (pay.select("bucket", "payload_hash")
+                           .distinct().count())
