@@ -38,6 +38,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="after an append, merge segments once more than"
                         " N postings segments have accumulated"
                         " (amortized maintenance; see compact)")
+    # build-mode knobs: DEFAULT None = unspecified, so --resume inherits
+    # the store's recorded modes (build_index's None contract) instead
+    # of silently flipping a positional/fielded/dedup/ef store to plain
+    b.add_argument("--positions", action="store_true", default=None,
+                   help="store per-posting token positions (enables true"
+                        ' phrase search, "..." queries)')
+    b.add_argument("--dedup-payloads", action="store_true", default=None,
+                   help="share identical posting payloads via a hash "
+                        "side-table (ItemIndexFactory dedup analog)")
+    b.add_argument("--codec", default=None,
+                   choices=["varint", "pfor", "ef", "wah"],
+                   help="posting-block codec (default: config/manifest)")
+    b.add_argument("--fields", default=None, metavar="COL[,COL...]",
+                   help="page columns indexed as key:value composite "
+                        "tokens (fielded terms, e.g. lang:en)")
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -85,7 +100,13 @@ def main(argv: list[str] | None = None) -> int:
         # the build, like a standing cluster's warm executors — this was
         # previously only in the bench child, not the production path
         prewarm_workers(spark)
-        res = build_index(spark, pages, args.index, resume=args.resume)
+        res = build_index(
+            spark, pages, args.index, resume=args.resume,
+            codec=args.codec,
+            dedup_payloads=args.dedup_payloads,
+            positions=args.positions,
+            fields=(tuple(f for f in args.fields.split(",") if f)
+                    if args.fields is not None else None))
         out = {
             "n_docs": res.n_docs, "n_terms": res.n_terms,
             "n_blocks": res.n_blocks, "elapsed_sec": round(res.elapsed_sec, 2),

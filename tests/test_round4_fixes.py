@@ -666,3 +666,56 @@ def test_compact_positional_dedup_fielded_store(spark, tmp_path):
     pay = store.read(spark, "payloads")
     assert pay.count() == (pay.select("bucket", "payload_hash")
                            .distinct().count())
+
+
+def test_cli_build_mode_flags_and_resume_inherit(spark, tmp_path, capsys):
+    """cli.py exposes the four build-mode knobs (--positions,
+    --dedup-payloads, --codec, --fields) and a FLAGLESS `build --resume`
+    inherits the store's recorded modes — the CLI face of build_index's
+    None-default contract.  Then `search` serves a fielded and a phrase
+    query from the appended store through the CLI."""
+    import json as _json
+
+    from oscar_spark import cli
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.sources.tables import IndexStore
+
+    pdf = generate_pages(160)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    _write_pages_file(pdf.iloc[:100], str(pdir / "p0.parquet"))
+    d = str(tmp_path / "idx")
+    rc = cli.main(["build", "--pages", str(pdir), "--index", d,
+                   "--positions", "--dedup-payloads", "--codec", "ef",
+                   "--fields", "lang"])
+    assert rc == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_docs"] == 100
+    store = IndexStore(d)
+    assert store.get_meta("codec") == "ef"
+    assert bool(store.get_meta("positions"))
+    assert bool(store.get_meta("payload_dedup"))
+    assert tuple(store.get_meta("fields")) == ("lang",)
+
+    _write_pages_file(pdf.iloc[100:], str(pdir / "p1.parquet"))
+    rc = cli.main(["build", "--pages", str(pdir), "--index", d,
+                   "--resume"])
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_docs"] >= 60
+    # modes survived the flagless resume (no plain-store rebuild)
+    assert store.get_meta("codec") == "ef"
+    assert bool(store.get_meta("positions"))
+    assert bool(store.get_meta("payload_dedup"))
+    assert tuple(store.get_meta("fields")) == ("lang",)
+    assert len(store.segments("postings")) == 2
+
+    for q in ("lang:en", '"%s %s"' % tuple(
+            [w for w in pdf["text"].iloc[0].split() if len(w) >= 2][:2])):
+        rc = cli.main(["search", "--index", d, "--query", q, "-k", "5"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines, q
+        for ln in lines:
+            doc_id, score = ln.split("\t")
+            int(doc_id), float(score)
