@@ -719,3 +719,12 @@ def test_cli_build_mode_flags_and_resume_inherit(spark, tmp_path, capsys):
         for ln in lines:
             doc_id, score = ln.split("\t")
             int(doc_id), float(score)
+
+    # consistency checker green on the full-feature store: exercises
+    # the ef-decode, pos_payload, and payload-dedup-join branches of
+    # check_index in one pass
+    rc = cli.main(["check", "--index", d])
+    assert rc == 0
+    chk = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert chk["ok"], chk
+    assert chk["checks"]["payload_decode_sample"]["detail"]["sampled"] > 0
