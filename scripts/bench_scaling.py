@@ -146,6 +146,18 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
     # production `cli.py build` path
     from oscar_spark.build.indexer import prewarm_workers
     prewarm_workers(spark)
+    # protocol v3.2 knob: an UNTIMED warmup build over a small page
+    # subset, inside this leg's JVM, before the timed run(s).  A
+    # single-run leg (BENCH_ATTEMPTS=1) otherwise pays fresh-JVM
+    # Catalyst/codegen JIT inside the timed region — the same absolute
+    # seconds on a ~90 s 4N leg as on a ~300 s N leg, deflating the
+    # measured ratio below the software's warm steady state (the thing
+    # v3's best-of-2 measured and the thing a standing cluster runs).
+    # ~1% of the data triggers the same plan shapes/codegen at ~5% of a
+    # full run's cost.
+    warmup_pages = int(os.environ.get("BENCH_WARMUP_PAGES", "0"))
+    if warmup_pages > 0:
+        build_index(spark, pages.limit(warmup_pages), f"{out_dir}_warm")
     # best of 3 full builds: this shared VM shows ±30% run-to-run noise,
     # which is larger than the software effects being measured
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
