@@ -41,6 +41,32 @@ def df_to_rows(pdf):
     ), cols
 
 
+def audit_correctness_files(qs) -> None:
+    """Loud (non-fatal) audit: does the NEWEST driver CORRECTNESS_r*.json
+    carry a row for every currently-registered query?  A missing row can
+    be legitimate (query added after that round) but must be SEEN —
+    the r04 sweep dropped rel_sessionize and nothing flagged it."""
+    import glob
+    import json
+    import os
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not files:
+        return
+    newest = files[-1]
+    with open(newest) as f:
+        rows = json.load(f)
+    absent = sorted(set(qs) - set(rows))
+    stale = sorted(set(rows) - set(qs))
+    print(f"audit {os.path.basename(newest)}: {len(rows)} rows for "
+          f"{len(qs)} registered queries")
+    if absent:
+        print(f"  NOTE: registered queries with NO row there: {absent}"
+              " (new this round, or dropped by the driver sweep — "
+              "check which)")
+    if stale:
+        print(f"  NOTE: rows for queries no longer registered: {stale}")
+
+
 def main() -> int:
     spark = get_spark(cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,7 +90,17 @@ def main() -> int:
     missing = set(qs) - set(oracles)
     if missing:
         print(f"NOTE: rows-only entries (no oracle): {sorted(missing)}")
+    # contract key-set self-check (round-4 verdict: the driver's r04
+    # sweep silently dropped rel_sessionize — 50 rows for 51 registered
+    # queries, and nothing in-repo noticed).  An oracle for a query that
+    # doesn't exist is dead weight at best and a typo'd key at worst.
+    orphans = set(oracles) - set(qs)
+    if orphans:
+        failures.append(f"oracle_sql() keys with no queries() entry: "
+                        f"{sorted(orphans)}")
+    swept = 0
     for name, fn in qs.items():
+        swept += 1
         try:
             sdf = fn(spark, SF).toPandas()
         except Exception as e:
@@ -97,6 +133,13 @@ def main() -> int:
             print("   oracle:", orows[i])
         else:
             print(f"ok   {name}: {len(srows)} rows match")
+    print(f"sweep: {swept}/{len(qs)} registered queries run "
+          f"({len(qs) - len(missing)} value-oracled, {len(missing)} "
+          "rows-only)")
+    if swept != len(qs):
+        failures.append(f"sweep covered {swept} of {len(qs)} "
+                        "registered queries")
+    audit_correctness_files(qs)
 
     # --- surface 2: build + serve through the package boundary ---
     from oscar_spark.build.indexer import build_index
