@@ -431,6 +431,15 @@ def _write_terms_rev(store: IndexStore, terms: DataFrame,
         raise errs[0]
 
 
+def _collect_bucket_stats(terms: DataFrame) -> list:
+    """Per-bucket stats from the TINY terms table (not a postings
+    rescan): they double as lineage rows AND global counts."""
+    return terms.groupBy("bucket").agg(
+        F.sum("df").alias("rows_in"),
+        F.count("*").alias("terms_out"),
+        F.sum("n_blocks").alias("blocks_out")).collect()
+
+
 def _write_lineage(store: IndexStore, bucket_stats, fp: str,
                    dps: float) -> None:
     """Per-bucket lineage rows (BASELINE.json per-partition lineage).
@@ -842,8 +851,10 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
     trfp = f"{fp}|f={ffp}"
     if resume and store.committed("terms", trfp):
         resumed.append("terms")
+        terms = store.read(spark, "terms")
+        bucket_stats = _collect_bucket_stats(terms)
     else:
-        terms = (
+        terms_src = (
             postings.groupBy("bucket", "term")
             .agg(F.sum("doc_count").cast("long").alias("df"),
                  F.count("*").cast("long").alias("n_blocks"))
@@ -851,24 +862,39 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
         # term-sorted within each bucket: parquet row-group min/max on
         # `term` then prunes dictionary range scans (prefix expansion)
         # even though buckets are hash-partitioned
-        store.write(terms.repartition("bucket")
+        store.write(terms_src.repartition("bucket")
                     .sortWithinPartitions("bucket", "term"),
                     "terms", partition_by=["bucket"])
-        _write_terms_rev(store, store.read(spark, "terms"))
+        terms = store.read(spark, "terms")
+        # the per-bucket stats collect (lineage rows + global counts) is
+        # independent of the wildcard mirrors and, like them, reads only
+        # the just-written terms parquet: run all three jobs
+        # concurrently — serially each pays its own job launch/barrier,
+        # a core-count-independent cost that taxes N→4N scaling at
+        # bench scale (fixed-cost model, BENCH/CAPABILITY.md)
+        import threading
+        _stats: dict = {}
+
+        def _stats_job() -> None:
+            try:
+                _stats["rows"] = _collect_bucket_stats(terms)
+            except BaseException as e:
+                _stats["err"] = e
+
+        st = threading.Thread(target=_stats_job)
+        st.start()
+        _write_terms_rev(store, terms)
         # the ngram mirror carries 2-grams (short-stem substring path);
         # serve only takes the 2-char pruned path when this flag says
         # the mirror has them (older stores fall back to the scan)
         store.set_meta("ngram2", True)
+        st.join()
+        if "err" in _stats:
+            raise _stats["err"]
+        bucket_stats = _stats["rows"]
         store.commit("terms", trfp)
     _mark("terms")
-    terms = store.read(spark, "terms")
 
-    # per-bucket stats from the TINY terms table (not a postings rescan):
-    # they double as lineage rows AND global counts
-    bucket_stats = terms.groupBy("bucket").agg(
-        F.sum("df").alias("rows_in"),
-        F.count("*").alias("terms_out"),
-        F.sum("n_blocks").alias("blocks_out")).collect()
     n_terms = sum(r["terms_out"] for r in bucket_stats)
     n_blocks = sum(r["blocks_out"] for r in bucket_stats)
     elapsed = time.time() - t0

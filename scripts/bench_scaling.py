@@ -41,7 +41,7 @@ def hw_ceiling(n: int) -> float:
         with mp.Pool(procs) as p:
             p.map(_BURN, [4_000_000] * procs)  # warm the pool
             t0 = time.time()
-            p.map(_BURN, [4_000_000] * 64)
+            p.map(_BURN, [4_000_000] * _ALU_PROBE_TASKS)
             return time.time() - t0
 
     return bench(n) / bench(4 * n) / 4.0
@@ -63,6 +63,16 @@ def _BURN_MEM(n):
     return s
 
 
+# Probe workload scale (protocol v4): the ceiling is a RATIO of the
+# same workload at two process counts, so the constants cancel — what
+# they buy is sampling time.  Storms move the mem ceiling from ~0.9 to
+# 0.1–0.6 (effect size >> probe noise), so v4 halves the probe traffic
+# to shorten the window that must stay calm (~40 s/probe-point → ~20 s
+# at 1→4).  Thresholds are unchanged.
+_MEM_PROBE_ITERS = int(os.environ.get("PROBE_MEM_ITERS", "4"))
+_ALU_PROBE_TASKS = int(os.environ.get("PROBE_ALU_TASKS", "32"))
+
+
 def mem_ceiling(n: int) -> float:
     """Measured N→4N scaling of pure memory-bandwidth work (big numpy
     copies, fixed total traffic).  The build's tokenize stage is
@@ -77,13 +87,14 @@ def mem_ceiling(n: int) -> float:
         with mp.Pool(procs) as p:
             p.map(_BURN_MEM, [2] * procs)  # warm
             t0 = time.time()
-            p.map(_BURN_MEM, [8] * 16)
+            p.map(_BURN_MEM, [_MEM_PROBE_ITERS] * 16)
             return time.time() - t0
 
     return bench(n) / bench(4 * n) / 4.0
 
 
-def run_build(cores: int, pages_path: str, out_dir: str) -> dict:
+def run_build(cores: int, pages_path: str, out_dir: str,
+              warmup_path: str | None = None) -> dict:
     """Run one leg in a FRESH subprocess (own JVM).
 
     In-process back-to-back sessions are not isolated: a stopped
@@ -91,11 +102,13 @@ def run_build(cores: int, pages_path: str, out_dir: str) -> dict:
     heap/GC state carries over — each leg must be its own process for
     the N-vs-4N comparison to measure what it claims.
     """
-    p = spawn_build(cores, pages_path, out_dir, cpu0=0)
+    p = spawn_build(cores, pages_path, out_dir, cpu0=0,
+                    warmup_path=warmup_path)
     return collect_build(p)
 
 
-def spawn_build(cores: int, pages_path: str, out_dir: str, cpu0: int):
+def spawn_build(cores: int, pages_path: str, out_dir: str, cpu0: int,
+                warmup_path: str | None = None):
     import shutil as _shutil
     import subprocess
     env = dict(os.environ)
@@ -108,6 +121,8 @@ def spawn_build(cores: int, pages_path: str, out_dir: str, cpu0: int):
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
            "--cores", str(cores), "--pages-path", pages_path,
            "--out-dir", out_dir]
+    if warmup_path:
+        cmd += ["--warmup-path", warmup_path]
     # PIN the leg to exactly `cores` CPUs, starting at cpu0.  local[N]
     # bounds TASK SLOTS, not CPU: the JVM's GC/shuffle/netty threads and
     # the Python UDF workers of a "local[2]" run happily use 4+ physical
@@ -129,7 +144,8 @@ def collect_build(p) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
+def child_build(cores: int, pages_path: str, out_dir: str,
+                warmup_path: str | None = None) -> dict:
     """One JVM at local[cores]: timed build + timed serve."""
     from oscar_spark.session import get_spark
     from oscar_spark.build.indexer import build_index
@@ -146,7 +162,7 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
     # production `cli.py build` path
     from oscar_spark.build.indexer import prewarm_workers
     prewarm_workers(spark)
-    # protocol v3.2 knob: an UNTIMED warmup build over a small page
+    # protocol v3.2/v4 knob: an UNTIMED warmup build over a small page
     # subset, inside this leg's JVM, before the timed run(s).  A
     # single-run leg (BENCH_ATTEMPTS=1) otherwise pays fresh-JVM
     # Catalyst/codegen JIT inside the timed region — the same absolute
@@ -154,10 +170,24 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
     # measured ratio below the software's warm steady state (the thing
     # v3's best-of-2 measured and the thing a standing cluster runs).
     # ~1% of the data triggers the same plan shapes/codegen at ~5% of a
-    # full run's cost.
-    warmup_pages = int(os.environ.get("BENCH_WARMUP_PAGES", "0"))
-    if warmup_pages > 0:
+    # full run's cost.  v4 fix (round-5 advice): the warmup input is a
+    # SEPARATE small parquet directory written at generation time, so
+    # the warmup's scan plan has the same shape as the timed build's
+    # (pages.limit() compiled a GlobalLimit/CollectLimit plan whose
+    # generated code is NOT what the timed run executes); the warmup
+    # index output is deleted before the timed region so no extra bytes
+    # sit in /dev/shm during the measurement.
+    if warmup_path:
+        import shutil
+        build_index(spark, spark.read.parquet(warmup_path),
+                    f"{out_dir}_warm")
+        shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
+    elif int(os.environ.get("BENCH_WARMUP_PAGES", "0")) > 0:
+        # legacy v3.2 shape, kept for reproducing old ledgers
+        import shutil
+        warmup_pages = int(os.environ["BENCH_WARMUP_PAGES"])
         build_index(spark, pages.limit(warmup_pages), f"{out_dir}_warm")
+        shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
     # best of 3 full builds: this shared VM shows ±30% run-to-run noise,
     # which is larger than the software effects being measured
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
@@ -196,6 +226,75 @@ def child_build(cores: int, pages_path: str, out_dir: str) -> dict:
     }
 
 
+def _dump_attempts(all_attempts) -> None:
+    """Incremental audit-trail flush after EVERY attempt: a hunt killed
+    mid-run (e.g. before a driver bench) keeps its ledger instead of
+    losing everything since launch."""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/pairs_raw.json", "w") as f:
+        json.dump(all_attempts, f, indent=1, default=str)
+
+
+def run_calibration(args, pages_path: str,
+                    warmup_path: str | None) -> None:
+    """Protocol-v4 calibration: N-leg-only runs bracketed by pre/post
+    probes.  Collects --calibrate K held runs (or stops at
+    --max-attempts), appends every attempt to BENCH/calibration_v4.json,
+    prints the held-run docs/s span, and NEVER touches
+    BENCH/BASELINE.md.  The acceptance span for v4 headline pairs is
+    registered FROM this file before any v4 pair hunt runs."""
+    import tempfile as _tf
+    os.makedirs("BENCH", exist_ok=True)
+    out_json = "BENCH/calibration_v4.json"
+    attempts = []
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            attempts = json.load(f)
+    held = [a for a in attempts if a.get("held")]
+    attempt = len(attempts)
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    while len(held) < args.calibrate and attempt < args.max_attempts:
+        mc = mem_ceiling(args.n)
+        ac = hw_ceiling(args.n) if mc >= args.calm_thresh else 0.0
+        calm = mc >= args.calm_thresh and ac >= 0.9
+        print(f"cal attempt {attempt}: mem {mc:.3f} alu {ac:.3f} "
+              + ("(CALM)" if calm else "(storm — skipped)"),
+              file=sys.stderr)
+        if not calm:
+            attempts.append({"mem_pre": round(mc, 3),
+                             "alu_pre": round(ac, 3), "held": False,
+                             "skipped": True})
+            attempt += 1
+            with open(out_json, "w") as f:
+                json.dump(attempts, f, indent=1, default=str)
+            time.sleep(int(os.environ.get("STORM_SLEEP", "45")))
+            continue
+        with _tf.TemporaryDirectory(dir=tmp_base) as leg_tmp:
+            r = run_build(args.n, pages_path,
+                          os.path.join(leg_tmp, "idx"), warmup_path)
+        mc_post = mem_ceiling(args.n)
+        ac_post = hw_ceiling(args.n)
+        ok = min(mc, mc_post) >= args.calm_thresh and \
+            min(ac, ac_post) >= 0.9
+        print(f"  N leg: {r['docs_per_sec']} docs/s "
+              f"(post mem {mc_post:.3f} alu {ac_post:.3f}, "
+              f"{'HELD' if ok else 'post broke'})", file=sys.stderr)
+        attempts.append({"mem_pre": round(mc, 3),
+                         "alu_pre": round(ac, 3),
+                         "mem_post": round(mc_post, 3),
+                         "alu_post": round(ac_post, 3),
+                         "held": ok, "n": r})
+        if ok:
+            held.append(attempts[-1])
+        attempt += 1
+        with open(out_json, "w") as f:
+            json.dump(attempts, f, indent=1, default=str)
+    dps = sorted(a["n"]["docs_per_sec"] for a in held)
+    print(json.dumps({"held_runs": len(held), "docs_per_sec": dps,
+                      "attempts": len(attempts),
+                      "json": out_json}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int,
@@ -225,15 +324,24 @@ def main() -> None:
                     default=float(os.environ.get("CALM_THRESH", "0.85")))
     ap.add_argument("--max-attempts", type=int,
                     default=int(os.environ.get("MAX_ATTEMPTS", "12")))
+    ap.add_argument("--calibrate", type=int, default=0, metavar="K",
+                    help="calibration mode (protocol v4): collect K "
+                         "N-leg-only runs whose bracketing pre/post "
+                         "probes HELD, write them to "
+                         "BENCH/calibration_v4.json, and exit WITHOUT "
+                         "touching BENCH/BASELINE.md — used to register "
+                         "a fresh N-leg acceptance span after an input-"
+                         "size or build-path change")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cores", type=int, help=argparse.SUPPRESS)
     ap.add_argument("--pages-path", help=argparse.SUPPRESS)
     ap.add_argument("--out-dir", help=argparse.SUPPRESS)
+    ap.add_argument("--warmup-path", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child:
         print(json.dumps(child_build(args.cores, args.pages_path,
-                                     args.out_dir)))
+                                     args.out_dir, args.warmup_path)))
         return
 
     os.makedirs("BENCH", exist_ok=True)
@@ -259,7 +367,23 @@ def main() -> None:
         chunk = max(1000, args.pages // 128)
         pages_spark_df_dist(spark, args.pages, chunk=chunk) \
             .write.mode("overwrite").parquet(pages_path)
+        # same-shaped warmup input (protocol v4): a separate small
+        # parquet directory (disjoint page ids so it is just "other
+        # data"), read through the same scan path as the timed input
+        warmup_path = None
+        warmup_pages = int(os.environ.get("BENCH_WARMUP_PAGES", "4000"))
+        if warmup_pages > 0:
+            warmup_path = os.path.join(tmp, "pages_warm")
+            pages_spark_df_dist(spark, warmup_pages,
+                                chunk=max(warmup_pages // 8, 500)) \
+                .write.mode("overwrite").parquet(warmup_path)
+            # the child takes the v4 same-shaped path, not legacy v3.2
+            os.environ.pop("BENCH_WARMUP_PAGES", None)
         spark.stop()
+
+        if args.calibrate > 0:
+            run_calibration(args, pages_path, warmup_path)
+            return
 
         # default sequential: concurrent disjoint-cpuset legs share one
         # machine's memory bandwidth, which taxes the 4N leg ~4× harder
@@ -272,7 +396,8 @@ def main() -> None:
             cpu0 = 0
             for cores in (args.n, args.n * 4):
                 out_dir = os.path.join(tmp, f"idx{cores}")
-                procs.append(spawn_build(cores, pages_path, out_dir, cpu0))
+                procs.append(spawn_build(cores, pages_path, out_dir, cpu0,
+                                         warmup_path))
                 cpu0 += cores
             results = [collect_build(p) for p in procs]
         elif args.calm:
@@ -305,6 +430,7 @@ def main() -> None:
                                          "alu_ceiling": round(ac, 3),
                                          "calm": False, "skipped": True})
                     attempt += 1
+                    _dump_attempts(all_attempts)
                     time.sleep(int(os.environ.get("STORM_SLEEP", "120")))
                     continue
                 pr = []
@@ -313,7 +439,8 @@ def main() -> None:
                     out_dir = os.path.join(tmp, f"idx{cores}_a{attempt}")
                     print(f"  building at local[{cores}] ...",
                           file=sys.stderr)
-                    pr.append(run_build(cores, pages_path, out_dir))
+                    pr.append(run_build(cores, pages_path, out_dir,
+                                        warmup_path))
                     if i == 0:
                         # protocol v3 (pre-registered round 4, after
                         # 960k attempt 19: pre/post probes held at
@@ -334,6 +461,15 @@ def main() -> None:
                                   f"{ac_mid:.3f}) — 4N leg skipped, "
                                   "quarantined", file=sys.stderr)
                             break
+                # drop the attempt's index outputs now: they live on
+                # /dev/shm (RAM) and letting tens of attempts accumulate
+                # would perturb the memory conditions the probes claim
+                # to control (same hygiene class as deleting the warmup
+                # index before the timed region)
+                import shutil as _sh
+                for cores in (args.n, args.n * 4):
+                    _sh.rmtree(os.path.join(tmp, f"idx{cores}_a{attempt}"),
+                               ignore_errors=True)
                 if len(pr) < 2:
                     all_attempts.append({"mem_ceiling": round(mc, 3),
                                          "mem_ceiling_mid": round(mc_mid, 3),
@@ -342,6 +478,7 @@ def main() -> None:
                                          "calm": False, "n": pr[0],
                                          "broke": "after N leg"})
                     attempt += 1
+                    _dump_attempts(all_attempts)
                     continue
                 mc_post = mem_ceiling(args.n)
                 ac_post = hw_ceiling(args.n)
@@ -367,6 +504,7 @@ def main() -> None:
                     calm_pairs.append((min(mc, mc_mid, mc_post),
                                        pr[0], pr[1]))
                 attempt += 1
+                _dump_attempts(all_attempts)
             if not calm_pairs:
                 # keep the audit trail even when the hunt fails — the
                 # quarantine log is the evidence that attempts were
@@ -428,7 +566,8 @@ def main() -> None:
                     out_dir = os.path.join(tmp, f"idx{cores}_p{p}")
                     print(f"pair {p}: building at local[{cores}] ...",
                           file=sys.stderr)
-                    pr.append(run_build(cores, pages_path, out_dir))
+                    pr.append(run_build(cores, pages_path, out_dir,
+                                        warmup_path))
                 pair_results.append(tuple(pr))
                 e = pr[1]["docs_per_sec"] / (4.0 * pr[0]["docs_per_sec"])
                 print(f"  pair {p}: {pr[0]['docs_per_sec']} / "
@@ -456,7 +595,8 @@ def main() -> None:
             for cores in (args.n, args.n * 4):
                 out_dir = os.path.join(tmp, f"idx{cores}")
                 print(f"building at local[{cores}] ...", file=sys.stderr)
-                results.append(run_build(cores, pages_path, out_dir))
+                results.append(run_build(cores, pages_path, out_dir,
+                                         warmup_path))
         for r in results:
             print(f"  local[{r['cores']}]: {r['docs_per_sec']} docs/s",
                   file=sys.stderr)
