@@ -57,6 +57,14 @@ from oscar_spark.sources.tables import IndexStore
 _META_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
               "last_doc", "doc_count", "max_tf", "min_dl"]
 
+# engine cold-start cache: store snapshot → preloaded term dictionary
+# (df map, sorted list, lazy suffix/gram mirrors).  Keyed by (path,
+# terms snapshot id, terms segment list) so any committed change to the
+# store invalidates; bounded FIFO because one entry can reach ~100 MB
+# at the 2M-term preload cap.
+_PRELOAD_CACHE: dict = {}
+_PRELOAD_CACHE_MAX = 4
+
 
 class _StageTimer:
     """Per-query wall-clock split across serve stages — the analog of
@@ -208,16 +216,36 @@ class SearchEngine:
         self._terms_ngram = (
             self.store.read(spark, "terms_ngram")
             if _os.path.isdir(self.store.path("terms_ngram")) else None)
-        self._term_df: dict[str, int] | None = None
-        self._term_sorted: list[str] | None = None
-        self._term_sorted_rev: list[str] | None = None  # lazy suffix mirror
         self._brute_cache: DataFrame | None = None
         self._timer: _StageTimer | None = None
         self.last_stage_times: dict[str, float] | None = None
-        if self.terms.count() <= self.TERMS_PRELOAD_MAX:
-            rows = self.terms.select("term", "df").collect()
-            self._term_df = {r["term"]: int(r["df"]) for r in rows}
-            self._term_sorted = sorted(self._term_df)
+        # term-dictionary preload, memoized PER STORE SNAPSHOT at module
+        # level: repeated SearchEngine construction over one store
+        # (tests, notebooks, per-query engines) previously re-paid the
+        # terms count + ≤2M-row collect each time (round-4 verdict #6).
+        # The key carries the terms snapshot id + segment list, so any
+        # committed build/append/compaction gets a fresh entry; the lazy
+        # suffix/gram mirrors live in the same dict and persist across
+        # engine instances too.
+        key = (_os.path.abspath(index_dir),
+               self.store.snapshot_id("terms"),
+               tuple(self.store.segments("terms")),
+               self.TERMS_PRELOAD_MAX)  # part of the preload decision
+        pre = _PRELOAD_CACHE.get(key)
+        if pre is None:
+            pre = {"df": None, "sorted": None, "rev": None, "grams": None}
+            if self.terms.count() <= self.TERMS_PRELOAD_MAX:
+                rows = self.terms.select("term", "df").collect()
+                pre["df"] = {r["term"]: int(r["df"]) for r in rows}
+                pre["sorted"] = sorted(pre["df"])
+            while len(_PRELOAD_CACHE) >= _PRELOAD_CACHE_MAX:
+                _PRELOAD_CACHE.pop(next(iter(_PRELOAD_CACHE)))
+            _PRELOAD_CACHE[key] = pre
+        self._preload = pre
+        self._term_df = pre["df"]
+        self._term_sorted = pre["sorted"]
+        self._term_sorted_rev = pre["rev"]  # lazy suffix mirror
+        self._term_grams = pre["grams"]     # lazy substring gram index
 
     # ---- memory control (S7: Worker::lockMemory/dropMemory analog,
     # reference/oscar-cmd/Workfunctions.cpp:781-820 — mmap+mlock becomes
@@ -278,6 +306,7 @@ class SearchEngine:
                 if self._term_sorted_rev is None:
                     self._term_sorted_rev = sorted(
                         t[::-1] for t in self._term_sorted)
+                    self._preload["rev"] = self._term_sorted_rev
                 import bisect
                 rstem = stem[::-1]
                 revs = self._term_sorted_rev
@@ -289,7 +318,7 @@ class SearchEngine:
                     out.append(revs[i][::-1])
                 hit = out
             else:
-                hit = (t for t in self._term_sorted if stem in t)
+                hit = self._substr_candidates(stem)
             return sorted(hit)[:MAX_PREFIX_EXPAND]
         if kind == "suffix" and self._terms_rev is not None:
             rows = (self._terms_rev
@@ -323,6 +352,44 @@ class SearchEngine:
         rows = (self.terms.filter(cond).select("term").orderBy("term")
                 .limit(MAX_PREFIX_EXPAND).collect())
         return [r["term"] for r in rows]
+
+    def _substr_candidates(self, stem: str):
+        """Substring expansion under the driver preload via a lazily
+        built gram → term-index map — the driver-side analog of the
+        terms_ngram parquet mirror (round-4 verdict #3: this path was
+        the last linear full-dictionary scan, ≤2M Python `in` checks
+        per query).  Intersect the stem's 3-gram (or single 2-gram)
+        posting lists with numpy, verify `stem in term` only on the
+        candidates.  Stems below MIN_TOKEN_LEN (1 char) keep the
+        bounded linear fallback, mirroring the Spark path."""
+        ts = self._term_sorted
+        if len(stem) < 2:
+            return (t for t in ts if stem in t)
+        if self._term_grams is None:
+            from collections import defaultdict
+            acc: dict[str, list[int]] = defaultdict(list)
+            for i, t in enumerate(ts):
+                for n in (2, 3):
+                    for j in range(len(t) - n + 1):
+                        acc[t[j:j + n]].append(i)
+            # np.unique: a gram repeated inside one term ("anana" → "an"
+            # twice) must index the term once for assume_unique below
+            self._term_grams = {
+                g: np.unique(np.asarray(v, dtype=np.int64))
+                for g, v in acc.items()}
+            self._preload["grams"] = self._term_grams
+        grams = ({stem[i:i + 3] for i in range(len(stem) - 2)}
+                 if len(stem) >= 3 else {stem})
+        cand: np.ndarray | None = None
+        for g in grams:
+            arr = self._term_grams.get(g)
+            if arr is None:
+                return ()
+            cand = arr if cand is None else np.intersect1d(
+                cand, arr, assume_unique=True)
+            if len(cand) == 0:
+                return ()
+        return (ts[int(i)] for i in cand if stem in ts[int(i)])
 
     def _rewrite_prefixes(self, node):
         """AST → AST with prefix/suffix/substring leaves expanded to
