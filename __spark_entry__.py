@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             s, d, threshold=0.8),
         "dedup_simhash": dedup.simhash,
+        # production-width 64-bit simhash as two 32-bit halves (BIGINT-
+        # safe in both engines) + banded hamming-distance near-dup pairs
+        "dedup_simhash64": dedup.simhash64,
+        "dedup_simhash64_pairs": dedup.simhash64_pairs,
         "dedup_components": dedup.dedup_components,
         # full curation pipeline: lang filter + quality filter +
         # near-dup canonicalization in one declarative plan
@@ -159,6 +163,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(0.8),
         "dedup_simhash": dedup.simhash_sql(),
+        "dedup_simhash64": dedup.simhash64_sql(),
+        "dedup_simhash64_pairs": dedup.simhash64_pairs_sql(),
         "dedup_components": dedup.dedup_components_sql(),
         "pipeline_clean_corpus": pipeline.clean_corpus_sql(0.55),
         "sim_cosine_topk": similarity.cosine_topk_sql(0, 10),

@@ -319,3 +319,131 @@ def simhash_sql(bits: int = 16) -> str:
         f"agg AS (SELECT doc_id, {bit_sums} FROM hb GROUP BY doc_id) "
         f"SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM agg "
         "ORDER BY doc_id")
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash: the full 64-bit fingerprint, carried as
+    two 32-bit halves (sim_hi, sim_lo) so it stays exactly expressible
+    in portable SQL (a packed uint64 overflows BIGINT).
+
+    The 16-bit `simhash` entry remains the pinned driver-parity row;
+    a real 100 TB dedup wants 64 bits — at 16 bits unrelated docs
+    collide at ~2^-16 and hamming-distance banding has no headroom.
+    bit_j = 1 iff Σ_tokens (bit_j(md5(token)) ? +tf : -tf) > 0, with
+    bits 0–31 taken from md5 hex chars 9–16 (lo) and 32–63 from chars
+    1–8 (hi)."""
+    from oscar_spark.operators.fulltext_sql import tokens
+    t = tokens(load_documents(spark, sf_dir))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    hhi = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10) \
+        .cast("long")
+    hlo = F.conv(F.substring(F.md5(F.col("term")), 9, 8), 16, 10) \
+        .cast("long")
+    wb = tf.withColumn("hhi", hhi).withColumn("hlo", hlo)
+    sums = (
+        [F.sum(F.when(F.shiftright(F.col("hlo"), j).bitwiseAND(1) == 1,
+                      F.col("tf")).otherwise(-F.col("tf")))
+         .alias(f"l{j}") for j in range(32)]
+        + [F.sum(F.when(F.shiftright(F.col("hhi"), j).bitwiseAND(1) == 1,
+                        F.col("tf")).otherwise(-F.col("tf")))
+           .alias(f"h{j}") for j in range(32)])
+    agg = wb.groupBy("doc_id").agg(*sums)
+    pack = lambda pfx: sum(  # noqa: E731
+        (F.when(F.col(f"{pfx}{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        for j in range(32)).cast("long")
+    return (agg.select("doc_id", pack("h").alias("sim_hi"),
+                       pack("l").alias("sim_lo"))
+            .orderBy("doc_id"))
+
+
+def _simhash64_ctes() -> str:
+    """Shared CTE chain ending in `sim(doc_id, sim_hi, sim_lo)` — the
+    fingerprint query and the pairs query both build on it (a nested
+    WITH inside a CTE is not portable SQL)."""
+    from oscar_spark.operators.fulltext_sql import TOK_CTE
+    bit_sums = ", ".join(
+        ["SUM(CASE WHEN (hlo // {p}) % 2 = 1 THEN tf ELSE -tf END) AS l{j}"
+         .format(p=1 << j, j=j) for j in range(32)]
+        + ["SUM(CASE WHEN (hhi // {p}) % 2 = 1 THEN tf ELSE -tf END) AS h{j}"
+           .format(p=1 << j, j=j) for j in range(32)])
+    pack = lambda pfx: " + ".join(  # noqa: E731
+        f"(CASE WHEN {pfx}{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32))
+    return (
+        TOK_CTE + ", tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+        "GROUP BY doc_id, term), "
+        "hb AS (SELECT doc_id, tf, "
+        "CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hhi, "
+        "CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS hlo FROM tf), "
+        f"agg AS (SELECT doc_id, {bit_sums} FROM hb GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, CAST({pack('h')} AS BIGINT) AS sim_hi, "
+        f"CAST({pack('l')} AS BIGINT) AS sim_lo FROM agg)")
+
+
+def simhash64_sql() -> str:
+    return (_simhash64_ctes()
+            + " SELECT doc_id, sim_hi, sim_lo FROM sim ORDER BY doc_id")
+
+
+SIMHASH64_BANDS = 4   # 4 × 16-bit bands: pigeonhole-complete for ham ≤ 3
+SIMHASH64_MAX_HAM = 3
+
+
+def simhash64_pairs(spark: SparkSession, sf_dir: str,
+                    max_hamming: int = SIMHASH64_MAX_HAM) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash hamming distance.
+
+    Banding makes this scale-safe: the 64-bit fingerprint splits into 4
+    16-bit bands; two docs within hamming distance 3 differ in at most
+    3 bands, so they MUST agree on at least one (pigeonhole) — the
+    candidate join is per-(band, key) buckets on slim rows, never
+    all-pairs (the same shape as minhash_lsh_pairs / the reference's
+    cell-bucketed joins).  Exact hamming (bit_count of the XOR, both
+    halves) then filters candidates — banding adds no false negatives
+    for max_hamming ≤ 3 and false positives are verified away."""
+    sim = simhash64(spark, sf_dir)
+    bands = sim.select(
+        "doc_id", "sim_hi", "sim_lo", F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     (F.shiftright(F.col("sim_lo" if b < 2 else "sim_hi"),
+                                   16 * (b % 2))
+                      .bitwiseAND(0xFFFF)).alias("key"))
+            for b in range(SIMHASH64_BANDS)])).alias("bk")) \
+        .select("doc_id", "sim_hi", "sim_lo", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.sim_hi").alias("ah"),
+                    F.col("a.sim_lo").alias("al"),
+                    F.col("b.sim_hi").alias("bh"),
+                    F.col("b.sim_lo").alias("bl"))
+            .distinct())
+    ham = (F.bit_count(F.col("ah").bitwiseXOR(F.col("bh")))
+           + F.bit_count(F.col("al").bitwiseXOR(F.col("bl"))))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+            .orderBy("doc_a", "doc_b"))
+
+
+def simhash64_pairs_sql(max_hamming: int = SIMHASH64_MAX_HAM) -> str:
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, sim_hi, sim_lo, {b} AS band, "
+        "(({col} // {shift}) % 65536) AS key FROM sim"
+        .format(b=b, col="sim_lo" if b < 2 else "sim_hi",
+                shift=1 << (16 * (b % 2)))
+        for b in range(SIMHASH64_BANDS))
+    return (
+        _simhash64_ctes() + ", "
+        f"bands AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.sim_hi AS ah, a.sim_lo AS al, b.sim_hi AS bh, b.sim_lo AS bl "
+        "FROM bands a JOIN bands b USING (band, key) "
+        "WHERE a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS INT) "
+        "AS hamming FROM cand "
+        "WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) "
+        f"<= {max_hamming} ORDER BY doc_a, doc_b")

@@ -933,6 +933,72 @@ class SearchEngine:
         self._finish_timer()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    def search_many(self, queries: list[str], k: int = 10) \
+            -> list[list[tuple[int, float]]]:
+        """Batch serve: same answers as [search(q, k) for q in queries],
+        with every driver-local-eligible query (single/AND/OR below
+        PRUNE_MIN_POSTINGS — the common warm case) served from ONE
+        shared pruned block-fetch job over the union of their terms
+        instead of one collect job each.  Per-job launch latency is the
+        build/serve fixed cost quantified in BENCH/CAPABILITY.md
+        (~0.2–0.3 s/job); a 10-query batch pays it once.  Non-eligible
+        queries (phrase, NOT/XOR trees, above-threshold) fall back to
+        their normal search() paths unchanged.  Driver memory for the
+        shared fetch is bounded by Σ_q PRUNE_MIN_POSTINGS decoded
+        postings (a few MB per eligible query).  last_stage_times is
+        not populated by the batch path."""
+        plans: list[tuple] = []   # (query, kind, payload)
+        union_terms: dict[str, None] = {}
+        for q in queries:
+            node = self._rewrite_prefixes(
+                parser.parse(q, field_keys=self._field_keys))
+            terms = parser.query_terms(node)
+            dfmap = self.term_stats(terms)
+            shape = _tree_shape(node)
+            if shape == "empty" or not terms or (
+                    shape in ("and", "phrase")
+                    and any(dfmap.get(t, 0) == 0 for t in terms)):
+                plans.append((q, "empty", None))
+                continue
+            total = sum(dfmap.get(t, 0) for t in terms)
+            if shape in ("single", "and", "or") and \
+                    total < self.PRUNE_MIN_POSTINGS:
+                present = [t for t in terms if dfmap.get(t, 0) > 0]
+                req = len(terms) if shape == "and" else None
+                plans.append((q, "local", (present, dfmap, req)))
+                for t in present:
+                    union_terms[t] = None
+            else:
+                plans.append((q, "fallback", None))
+        shared: pd.DataFrame | None = None
+        if union_terms:
+            rows = (self._blocks(list(union_terms), meta_only=False)
+                    .select("term", "range_id", "doc_count", "payload")
+                    .collect())
+            shared = pd.DataFrame({
+                "term": [r["term"] for r in rows],
+                "range_id": [r["range_id"] for r in rows],
+                "doc_count": [r["doc_count"] for r in rows],
+                "payload": [r["payload"] for r in rows]})
+        out: list[list[tuple[int, float]]] = []
+        for q, kind, payload in plans:
+            if kind == "empty":
+                out.append([])
+            elif kind == "fallback":
+                out.append(self.search(q, k))
+            else:
+                present, dfmap, req = payload
+                sub = shared[shared["term"].isin(present)]
+                scored = _score_pdf(sub, self._decode, dfmap,
+                                    float(self.n_docs),
+                                    float(self.avgdl), req, local_k=k)
+                scored = scored.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort").head(k)
+                out.append([(int(d), float(s)) for d, s in
+                            zip(scored["doc_id"], scored["score"])])
+        return out
+
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     mode: str = "auto") -> list[tuple[int, float]]:
         """Results [offset, offset+k) of the ranked list — the

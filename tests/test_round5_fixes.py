@@ -146,3 +146,172 @@ def test_engine_preload_cache_invalidated_by_commit(spark, tmp_path):
     e2 = SearchEngine(spark, d)
     assert e2._term_df is not e1._term_df
     assert len(e2._term_df) >= n1
+
+
+# ---- 64-bit simhash (production default; round-4 verdict #4): two
+# 32-bit halves keep it BIGINT/SQL-exact; banding must be pigeonhole-
+# complete for the registered hamming threshold ----
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def test_simhash64_matches_duckdb_oracle(spark):
+    import duckdb
+    from oscar_spark.operators import dedup
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF1}/documents.parquet'")
+    s = dedup.simhash64(spark, SF1).toPandas()
+    o = con.sql(dedup.simhash64_sql()).df()
+    m = s.merge(o, on="doc_id", suffixes=("_s", "_o"))
+    assert len(m) == len(s) == len(o)
+    assert (m.sim_hi_s == m.sim_hi_o).all()
+    assert (m.sim_lo_s == m.sim_lo_o).all()
+    # halves are 32-bit non-negative (BIGINT-safe by construction)
+    assert (s.sim_hi >= 0).all() and (s.sim_hi < (1 << 32)).all()
+    assert (s.sim_lo >= 0).all() and (s.sim_lo < (1 << 32)).all()
+
+
+def test_simhash64_band_pairs_complete_and_exact(spark):
+    """The banded candidate join must find EXACTLY the pairs a brute
+    all-pairs hamming scan finds at the registered threshold (banding
+    is pigeonhole-complete for ham ≤ 3 with 4 bands; the exact-hamming
+    verify removes band false positives)."""
+    from oscar_spark.operators import dedup
+    sim = dedup.simhash64(spark, SF1).toPandas()
+    got = dedup.simhash64_pairs(spark, SF1).toPandas()
+    rows = list(sim.itertuples(index=False))
+    brute = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            h = (bin((a.sim_hi ^ b.sim_hi)).count("1")
+                 + bin((a.sim_lo ^ b.sim_lo)).count("1"))
+            if h <= dedup.SIMHASH64_MAX_HAM:
+                lo, hi = sorted((a.doc_id, b.doc_id))
+                brute.append((lo, hi, h))
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        sorted(brute)
+    assert len(brute) > 0, "fixture corpus should contain near-dups"
+
+
+# ---- real media decode behind the FAKE_DECODE seam (round-4 verdict
+# #5): the built-in PPM/WAV decoders run IN THIS CONTAINER and are
+# value-checked; the fake fallback and driver rows stay pinned ----
+
+def _ppm_bytes(arr):
+    import numpy as np
+    h, w, _ = arr.shape
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) \
+        + arr.astype(np.uint8).tobytes()
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", int(s)) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_decoders_roundtrip():
+    import numpy as np
+    from oscar_spark.operators import multimodal as mm
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    got = mm.decode_image(_ppm_bytes(img))
+    assert got is not None and (got == img).all()
+    samples = [0, 1000, -1000, 16384, -16384, 32767, -32768]
+    s = mm.decode_audio(_wav_bytes(samples))
+    assert s is not None
+    assert np.allclose(s * 32768.0, samples)
+    # junk payloads decode to None, never raise
+    assert mm.decode_image(b"\x00\x01notanimage") is None
+    assert mm.decode_audio(b"\x00\x01notaudio") is None
+
+
+def test_extract_features_real_branch_through_spark(spark):
+    import numpy as np
+    from oscar_spark.operators import multimodal as mm
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    wav = _wav_bytes([0, 8192, -8192, 32767])
+    junk = b"undecodable payload"
+    rows = [(0, "image", bytearray(_ppm_bytes(img)), 8, 6, 0),
+            (1, "audio", bytearray(wav), 0, 0, 500),
+            (2, "image", bytearray(junk), 0, 0, 0)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           mm.extract_features(media, fake=False).collect()}
+    # image row: real pixel statistics
+    f = out[0]["feat"]
+    assert f[0] == 6.0 and f[1] == 8.0
+    exp_rgb = img.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(f[2:5], exp_rgb)
+    # audio row: real sample statistics (count, rms)
+    s = np.array([0, 8192, -8192, 32767]) / 32768.0
+    fa = out[1]["feat"]
+    assert fa[0] == 4.0
+    assert abs(fa[4] - float(np.sqrt(np.mean(s ** 2)))) < 1e-9
+    # junk row: per-row fake fallback, same value the fake path gives
+    fake = {r["media_id"]: r for r in
+            mm.extract_features(media, fake=True).collect()}
+    assert out[2]["feat"] == fake[2]["feat"]
+    # digests/sizes identical across modes (decode never changes them)
+    for k in (0, 1, 2):
+        assert out[k]["digest"] == fake[k]["digest"]
+        assert out[k]["n_bytes"] == fake[k]["n_bytes"]
+
+
+def test_media_thumbnails_real_resize(spark):
+    import numpy as np
+    from oscar_spark.operators import multimodal as mm
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    rows = [(0, "image", bytearray(_ppm_bytes(img)), 24, 32, 0),
+            (1, "image", bytearray(b"junk"), 0, 0, 0),
+            (2, "audio", bytearray(b"RIFFxxxx"), 0, 0, 100)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.media_thumbnails(media, tw=8, th=8).collect()
+    assert [r["media_id"] for r in out] == [0]  # undecodable dropped
+    t = mm.decode_image(bytes(out[0]["thumb"]))
+    assert t.shape == (8, 8, 3)
+    assert (t == mm.resize_nn(img, 8, 8)).all()
+
+
+# ---- batch serve (round-4 verdict #8): search_many must equal
+# per-query search() exactly while sharing one fetch job for the
+# driver-local-eligible queries ----
+
+def test_search_many_matches_sequential(spark, built_index):
+    from oscar_spark.serve.executor import SearchEngine
+    d, _ = built_index
+    eng = SearchEngine(spark, d)
+    queries = ["the", "of and", "city + state", "time - year",
+               "house ^ music", "war history world", '"north south"',
+               "wd0042", "nosuchterm", "((", "ci* + history"]
+    batch = eng.search_many(queries, k=10)
+    seq = [eng.search(q, k=10) for q in queries]
+    assert batch == seq
+
+
+def test_search_many_single_fetch_job(spark, built_index):
+    """All eligible queries share ONE block-fetch collect: count the
+    Spark jobs a pure-eligible batch triggers via a job group."""
+    from oscar_spark.serve.executor import SearchEngine
+    d, _ = built_index
+    eng = SearchEngine(spark, d)
+    queries = ["the", "of and", "city state", "war history"]
+    eng.search_many(queries, k=5)  # warm any lazy init
+    sc = spark.sparkContext
+    sc.setJobGroup("batchjob", "search_many job count")
+    batch = eng.search_many(queries, k=5)
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("batchjob")
+    assert len(jobs) == 1, f"expected 1 shared fetch job, got {len(jobs)}"
+    assert batch == [eng.search(q, k=5) for q in queries]
