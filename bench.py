@@ -41,7 +41,15 @@ def main() -> None:
         "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
         "text_quality", "rel_pricing_summary", "rel_revenue_by_nation",
         "rel_ranked_parts",
+        # round-5 additions — timed and reported, but EXCLUDED from the
+        # headline total so the total stays apples-to-apples with
+        # BENCH_r04 (see EXTRA_KEYS below)
+        "dedup_simhash64_pairs",
     ]
+    # keys reported in `queries` but excluded from the cross-round
+    # comparable total (new operators added after r04, plus rates)
+    EXTRA_KEYS = {"dedup_simhash64_pairs", "serve_batch_5q",
+                  "build_docs_per_sec"}
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
@@ -109,6 +117,12 @@ def main() -> None:
                 stage_acc[s].append(v)
         timings["serve_topk_5q"] = round(warm_serve, 3)
         cold_timings["serve_topk_5q"] = round(cold_serve, 3)
+        # batch API over the same queries (warm): all driver-local-
+        # eligible queries share ONE fetch job — the amortization
+        # search_many exists for; answers pinned identical in tests
+        t0 = time.time()
+        eng.search_many(serve_queries, k=10)
+        timings["serve_batch_5q"] = round(time.time() - t0, 3)
         timings["build_docs_per_sec"] = round(res.docs_per_sec, 1)
         # per-stage serve split (reference Benchmark.cpp:227-304 analog)
         serve_stages = {
@@ -118,7 +132,7 @@ def main() -> None:
             for s, v in stage_acc.items() if v}
 
     total = round(sum(v for k, v in timings.items()
-                      if k != "build_docs_per_sec"), 3)
+                      if k not in EXTRA_KEYS), 3)
     print(json.dumps({
         "metric": "headline_queries_plus_index_build_total_sec",
         "value": total,
