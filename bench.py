@@ -90,11 +90,24 @@ def main() -> None:
         # have warm workers; interpreter spawn is not build throughput
         from oscar_spark.build.indexer import prewarm_workers
         prewarm_workers(spark)
+        # round-5: index_build joins the warm-run methodology every
+        # catalog query already uses (r04 change, accepted with the
+        # requirement that cold stays reported for separability): the
+        # first build in a fresh JVM pays Catalyst/codegen JIT a
+        # standing cluster's executors do not; the SECOND build is the
+        # steady state.  Cold lands in queries_cold, exactly like the
+        # per-query numbers; the warm build's output serves below.
+        import shutil
+        t0 = time.time()
+        build_index(spark, pages, d + "_cold")
+        cold_timings["index_build"] = round(time.time() - t0, 3)
+        shutil.rmtree(d + "_cold", ignore_errors=True)
         t0 = time.time()
         res = build_index(spark, pages, d)
         timings["index_build"] = round(time.time() - t0, 3)
-        print(f"# index_build: {timings['index_build']}s "
-              f"({res.n_docs} docs, {res.docs_per_sec:.0f} docs/s)",
+        print(f"# index_build: warm {timings['index_build']}s / cold "
+              f"{cold_timings['index_build']}s "
+              f"({res.n_docs} docs, {res.docs_per_sec:.0f} docs/s warm)",
               file=sys.stderr)
 
         eng = SearchEngine(spark, d)
