@@ -389,7 +389,7 @@ def main() -> None:
         # machine's memory bandwidth, which taxes the 4N leg ~4× harder
         # than N (a real 4N cluster brings 4× the bandwidth too) — use
         # --concurrent only to equalize noisy-neighbor windows
-        if args.concurrent:
+        if args.concurrent and not args.calm:
             print(f"building local[{args.n}] and local[{args.n * 4}] "
                   "concurrently on disjoint cpusets ...", file=sys.stderr)
             procs = []
@@ -435,7 +435,30 @@ def main() -> None:
                     continue
                 pr = []
                 mc_mid = ac_mid = None
-                for i, cores in enumerate((args.n, args.n * 4)):
+                if args.concurrent:
+                    # protocol v4.2 (registered round 5): both legs AT
+                    # THE SAME TIME on disjoint cpusets — the window is
+                    # pre + max(leg walls) + post and there is no
+                    # mid-probe blind spot (every instant of noise hits
+                    # both legs); the shared bus taxes the 4N leg, a
+                    # registered DEFLATIONARY bias (CAPABILITY.md).
+                    procs = []
+                    cpu0 = 0
+                    for cores in (args.n, args.n * 4):
+                        out_dir = os.path.join(tmp,
+                                               f"idx{cores}_a{attempt}")
+                        procs.append(spawn_build(cores, pages_path,
+                                                 out_dir, cpu0,
+                                                 warmup_path))
+                        cpu0 += cores
+                    print("  building both legs concurrently ...",
+                          file=sys.stderr)
+                    pr = [collect_build(p) for p in procs]
+                    # contemporaneous legs: the pre probe doubles as
+                    # the "mid" value in the hold rule below
+                    mc_mid, ac_mid = mc, ac
+                for i, cores in enumerate(
+                        () if args.concurrent else (args.n, args.n * 4)):
                     out_dir = os.path.join(tmp, f"idx{cores}_a{attempt}")
                     print(f"  building at local[{cores}] ...",
                           file=sys.stderr)
@@ -497,6 +520,9 @@ def main() -> None:
                                      "alu_ceiling": round(ac, 3),
                                      "alu_ceiling_mid": round(ac_mid, 3),
                                      "alu_ceiling_post": round(ac_post, 3),
+                                     "mode": ("concurrent"
+                                              if args.concurrent
+                                              else "sequential"),
                                      "calm": held, "n": pr[0],
                                      "4n": pr[1],
                                      "efficiency": round(e, 4)})
@@ -530,10 +556,15 @@ def main() -> None:
             results[0]["pair_mem_ceilings"] = [round(mc, 3)
                                                for mc, _, _ in calm_pairs]
             results[0]["protocol"] = (
-                f"calm-window v3: a pair counts only when bandwidth-"
+                ("calm-window v4.2 (CONCURRENT disjoint-cpuset legs — "
+                 "no mid blind spot, shared-bus tax on the 4N leg is a "
+                 "registered deflationary bias): "
+                 if args.concurrent else "calm-window v3/v4: ")
+                + f"a pair counts only when bandwidth-"
                 f"ceiling probes (>= {args.calm_thresh}) AND ALU-ceiling "
-                f"probes (>= 0.9) immediately before, BETWEEN the legs, "
-                f"and immediately after all clear — the window must HOLD "
+                f"probes (>= 0.9) immediately before"
+                + ("" if args.concurrent else ", BETWEEN the legs,")
+                + " and immediately after all clear — the window must HOLD "
                 f"across the whole measurement; "
                 f"{len(calm_pairs)} held pairs kept, "
                 f"{sum(1 for a in all_attempts if not a['calm'])} storm/"
