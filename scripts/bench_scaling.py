@@ -717,6 +717,15 @@ worker JVMs, package shipped via addPyFile (the --py-files path) —
 asserting rank-identity vs the pure-Python oracle across real process
 boundaries (measured: 2,000 pages, 2 workers + driver, 0 mismatches).
 
+The literal `spark-submit --py-files` deployment is exercised too
+(`python scripts/spark_submit_smoke.py`): the real spark-submit binary
+launches `scripts/submit_job.py` on `local-cluster[2,2,2048]` with the
+package available ONLY through the `--py-files` zip (launcher strips
+PYTHONPATH), and the launcher — plain python, no Spark — recomputes
+every answer with the pure-Python oracle and asserts rank-identity.
+Measured 2026-08-17: 2,000 pages, 2 workers + driver, 7/7 queries
+match, 0 mismatches.
+
 ## Posting-codec variants
 
 See BENCH/CODECS.md for the varint / pfor / ef / wah payload-size and
