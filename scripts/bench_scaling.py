@@ -344,6 +344,13 @@ def main() -> None:
                                      args.out_dir, args.warmup_path)))
         return
 
+    # a standing hunt is stopped with SIGTERM (kill); raising
+    # SystemExit lets the TemporaryDirectory below unwind — a plain
+    # kill otherwise leaks the 240k-page parquet + attempt outputs on
+    # /dev/shm (RAM; measured 6.8 GB after one hunt session)
+    import signal
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
     os.makedirs("BENCH", exist_ok=True)
 
     # tmpfs when available: the measurement targets CPU scaling, and the
