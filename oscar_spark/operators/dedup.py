@@ -41,20 +41,26 @@ EXACT_DUP_SQL = (
     "HAVING COUNT(*) > 1 ORDER BY digest")
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram shingles, whitespace split.
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word-3-gram shingles, whitespace split.
 
     Split rule is plain single-space (matching DuckDB string_split) so
     the oracle is exact; documents fixture text is single-spaced.
+
+    distinct=False skips the per-(doc, shingle) dedup Exchange for
+    consumers whose aggregation is duplicate-insensitive (MinHash's
+    min() — r06 optimization, guide §2.4: that distinct was a full
+    shuffle of every shingle string feeding an agg whose result it
+    could not change, and it blocked map-side partial aggregation).
     """
     words = F.split(F.lower(F.col("text")), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(-1)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_N)))
-    return (docs.filter(n >= SHINGLE_N)
-            .select("doc_id", F.explode(sh).alias("shingle"))
-            .distinct())
+    out = (docs.filter(n >= SHINGLE_N)
+           .select("doc_id", F.explode(sh).alias("shingle")))
+    return out.distinct() if distinct else out
 
 
 # same shingling in DuckDB
@@ -138,8 +144,16 @@ def ngram_jaccard_sql(threshold: float = 0.8) -> str:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsorted MinHash signatures (internal: LSH banding re-sorts)."""
-    sh = _shingles(load_documents(spark, sf_dir))
+    """Unsorted MinHash signatures (internal: LSH banding re-sorts).
+
+    Built over the NON-distinct shingle stream: min(md5(p || shingle))
+    over a multiset equals min over its support, so results are
+    identical, while the groupBy's map-side partial agg collapses each
+    partition to one row per doc — the shuffle then carries ~n_docs
+    slim rows instead of every shingle string twice (once for the
+    distinct, once for this agg).
+    """
+    sh = _shingles(load_documents(spark, sf_dir), distinct=False)
     aggs = [F.min(F.md5(F.concat(F.lit(str(p)), F.col("shingle"))))
             .alias(f"sig{p}") for p in range(MINHASH_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -180,11 +194,25 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(LSH_BANDS)])
     all_bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key"))
-    return (all_bands.alias("a")
-            .join(all_bands.alias("b"), ["band", "key"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+    # r06: the self-join re-executed the ENTIRE shingle+signature
+    # lineage on both sides (two full corpus scans + two agg chains in
+    # the physical plan) and sort-merge-joined on the 64-char band key.
+    # Grouping by (band, key) and expanding each bucket's sorted doc
+    # list pairwise computes the identical pair set — docs a<b sharing
+    # a band key — with the upstream computed ONCE and no join at all
+    # (guide §2.4 "remove shuffles outright").  Bucket population =
+    # docs sharing a MinHash band signature (near-dup clusters), the
+    # same groups whose pairwise output the join also emitted; the
+    # quadratic pair fan-out is inherent to LSH candidates either way.
+    groups = (all_bands.groupBy("band", "key")
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+              .filter(F.size("ids") >= 2))
+    pair = F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p")
+    return (groups.select(pair)
+            .select("p.doc_a", "p.doc_b")
             .distinct())
 
 
@@ -288,12 +316,18 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """
     from oscar_spark.operators.fulltext_sql import tokens
     t = tokens(load_documents(spark, sf_dir))
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # r06: sum over per-occurrence ±1 instead of per-(doc, term) ±tf —
+    # Σ_terms tf_t·sign_t ≡ Σ_occurrences sign, so the (doc_id, term)
+    # pre-aggregation shuffle (which carried every distinct term string)
+    # is dropped; the one remaining groupBy(doc_id) partial-aggregates
+    # map-side to ~one row per doc (guide §2.3 "aggregate before you
+    # shuffle" — with the shuffle itself removed).
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
-    withbits = tf.withColumn("h", h)
+    withbits = t.withColumn("h", h)
+    one = F.lit(1).cast("long")
     sums = [
         F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
-                     F.col("tf")).otherwise(-F.col("tf")))
+                     one).otherwise(-one))
         .alias(f"b{j}") for j in range(bits)
     ]
     agg = withbits.groupBy("doc_id").agg(*sums)
@@ -321,7 +355,19 @@ def simhash_sql(bits: int = 16) -> str:
         "ORDER BY doc_id")
 
 
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SIM_CKPT_CACHE: list[DataFrame] = []
+
+
+def _release_sim_ckpt_cache() -> None:
+    """Unpersist the previous simhash64_pairs call's fingerprint
+    checkpoint (same lifecycle pattern the serve path uses for its
+    brute cache): at most one is live at a time, and every invocation
+    recomputes from the parquet input — nothing persists across runs."""
+    while _SIM_CKPT_CACHE:
+        _SIM_CKPT_CACHE.pop().unpersist()
+
+
+def _simhash64_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width SimHash: the full 64-bit fingerprint, carried as
     two 32-bit halves (sim_hi, sim_lo) so it stays exactly expressible
     in portable SQL (a packed uint64 overflows BIGINT).
@@ -334,26 +380,33 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     1–8 (hi)."""
     from oscar_spark.operators.fulltext_sql import tokens
     t = tokens(load_documents(spark, sf_dir))
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # r06: same per-occurrence ±1 identity as simhash() — the
+    # (doc_id, term) tf pre-aggregation shuffle is gone; groupBy(doc_id)
+    # partial-aggregates map-side to ~one 64-long row per doc.
     hhi = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10) \
         .cast("long")
     hlo = F.conv(F.substring(F.md5(F.col("term")), 9, 8), 16, 10) \
         .cast("long")
-    wb = tf.withColumn("hhi", hhi).withColumn("hlo", hlo)
+    wb = t.withColumn("hhi", hhi).withColumn("hlo", hlo)
+    one = F.lit(1).cast("long")
     sums = (
         [F.sum(F.when(F.shiftright(F.col("hlo"), j).bitwiseAND(1) == 1,
-                      F.col("tf")).otherwise(-F.col("tf")))
+                      one).otherwise(-one))
          .alias(f"l{j}") for j in range(32)]
         + [F.sum(F.when(F.shiftright(F.col("hhi"), j).bitwiseAND(1) == 1,
-                        F.col("tf")).otherwise(-F.col("tf")))
+                        one).otherwise(-one))
            .alias(f"h{j}") for j in range(32)])
     agg = wb.groupBy("doc_id").agg(*sums)
     pack = lambda pfx: sum(  # noqa: E731
         (F.when(F.col(f"{pfx}{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
         for j in range(32)).cast("long")
-    return (agg.select("doc_id", pack("h").alias("sim_hi"),
-                       pack("l").alias("sim_lo"))
-            .orderBy("doc_id"))
+    return agg.select("doc_id", pack("h").alias("sim_hi"),
+                      pack("l").alias("sim_lo"))
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted driver-query boundary over _simhash64_fps."""
+    return _simhash64_fps(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash64_ctes() -> str:
@@ -413,7 +466,22 @@ def simhash64_pairs(spark: SparkSession, sf_dir: str,
     This implementation keeps the 4×16 single-band form (exact, SQL-
     oracled, right shape); flipping to the multi-table key is a local
     change to the `bands` projection."""
-    sim = simhash64(spark, sf_dir)
+    # r06 (guide §2.4/§1.2): the naive self-join re-executed the whole
+    # simhash lineage on both sides (two corpus scans + two 64-agg
+    # chains).  A lazy localCheckpoint of the tiny fingerprint table
+    # (n_docs × 3 longs) makes both join sides read one materialized
+    # RDD, so the corpus is scanned once; the join itself stays a
+    # codegen'd streaming join over slim int rows (an earlier
+    # collect_list + pairwise-lambda shape evaluated the 14.2M sf1.0
+    # bucket candidates in interpreted higher-order functions — slower
+    # and skew-fragile).  The exact-hamming filter runs BEFORE the
+    # distinct: hamming is a pure per-row function, so
+    # distinct∘filter ≡ filter∘distinct, and the dedup Exchange sees
+    # only the ≤max_hamming survivors (15 rows at sf1.0) instead of
+    # every bucket candidate.
+    _release_sim_ckpt_cache()
+    sim = _simhash64_fps(spark, sf_dir).localCheckpoint(eager=False)
+    _SIM_CKPT_CACHE.append(sim)
     bands = sim.select(
         "doc_id", "sim_hi", "sim_lo", F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
@@ -423,20 +491,15 @@ def simhash64_pairs(spark: SparkSession, sf_dir: str,
             for b in range(SIMHASH64_BANDS)])).alias("bk")) \
         .select("doc_id", "sim_hi", "sim_lo", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, ["band", "key"])
+    ham = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+           + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))
+    return (a.join(b, ["band", "key"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(ham <= max_hamming)
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.sim_hi").alias("ah"),
-                    F.col("a.sim_lo").alias("al"),
-                    F.col("b.sim_hi").alias("bh"),
-                    F.col("b.sim_lo").alias("bl"))
-            .distinct())
-    ham = (F.bit_count(F.col("ah").bitwiseXOR(F.col("bh")))
-           + F.bit_count(F.col("al").bitwiseXOR(F.col("bl"))))
-    return (cand.withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming")
+                    ham.cast("int").alias("hamming"))
+            .distinct()
             .orderBy("doc_a", "doc_b"))
 
 

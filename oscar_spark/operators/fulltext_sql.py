@@ -26,16 +26,26 @@ from oscar_spark.functions.bm25 import bm25_sql
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from oscar_spark.operators.scan import parallelize
+    return parallelize(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# regexp_extract_all form of the pinned tokenizer: maximal [a-z0-9]
+# runs of length >= MIN_TOKEN_LEN — exactly split(TOKEN_SPLIT_RE) +
+# length filter, but as ONE codegen'd regex pass instead of a split
+# followed by an ArrayFilter higher-order function (HOFs execute
+# interpreted per element in Spark, measured as a large share of every
+# tokenizing stage — r06, guide §1.2 step 2).
+_TOKEN_EXTRACT_RE = f"[a-z0-9]{{{MIN_TOKEN_LEN},}}"
 
 
 def tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, term) one row per token occurrence — pure built-ins."""
-    arr = F.filter(
-        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE),
-        lambda t: F.length(t) >= MIN_TOKEN_LEN,
-    )
-    return docs.select("doc_id", F.explode(arr).alias("term"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(_TOKEN_EXTRACT_RE), 0))
+        .alias("term"))
 
 
 # The exact-same tokenization as a DuckDB CTE (used by every oracle):
@@ -87,57 +97,92 @@ DOC_STATS_SQL = (
     " AS rank FROM tok GROUP BY doc_id")
 
 
-_TF_CACHE: list[DataFrame] = []
+_PROJ_CACHE: list[DataFrame] = []
 
 
-def _release_tf_cache() -> None:
-    """Unpersist the previous catalog query's tf cache — Spark's
-    CacheManager pins cached plans forever, so a long session would
-    otherwise accumulate one cached RDD per bm25_topk call (the same
-    leak SearchEngine._release_brute_cache fixes on the serve path)."""
-    while _TF_CACHE:
-        _TF_CACHE.pop().unpersist()
+def _release_proj_cache() -> None:
+    """Unpersist the previous catalog query's per-doc projection
+    checkpoint — at most one is live at a time (the same lifecycle the
+    r05 tf cache had; Spark otherwise pins the RDD for the session)."""
+    while _PROJ_CACHE:
+        _PROJ_CACHE.pop().unpersist()
 
 
-def _scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
-    """(doc_id, score per term present, n_match) for a list of terms."""
-    t = tokens(docs)
-    # cached: dl, dfs and the scored join all branch from tf — without
-    # the cache the corpus is re-tokenized per branch.  At most ONE such
-    # cache is live at a time (released on the next _scores call).
-    _release_tf_cache()
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
-    _TF_CACHE.append(tf)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # N and avgdl as a 1-row broadcast aggregate (declarative scalar
-    # subqueries) — an earlier shape ran docs.count() driver-side, one
-    # extra blocking job per catalog query
-    stats = (dl.agg(F.sum("dl").cast("double").alias("_tdl"))
-             .crossJoin(docs.agg(F.count("*").cast("double").alias("n")))
-             .select("n", (F.col("_tdl") / F.col("n")).alias("avgdl")))
-    scored = (
-        tf.filter(F.col("term").isin(query_terms))
-        .join(dl, "doc_id")
-        .join(F.broadcast(dfs.filter(F.col("term").isin(query_terms))), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("score", F.expr(bm25_sql(
-            "tf", "dl", "df", "n", "avgdl")))
-    )
-    return scored
+def _tok_arr():
+    """The pinned tokenizer as an ARRAY expression over `text` (same
+    rule as tokens(): lower + split + min-length filter, in the
+    codegen'd regexp_extract_all form)."""
+    return F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_TOKEN_EXTRACT_RE), 0)
+
+
+def _doc_scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
+    """Per-doc BM25 aggregate for a term list: one row per doc with at
+    least one present term — (doc_id, score, n_match, dl, n, avgdl).
+
+    r06 rewrite (guide §1.2 step 1 / §2.3-2.4): the previous shape
+    materialized the FULL (doc_id, term, tf) table — a corpus-wide
+    shuffle carrying every distinct term string, plus a .cache() — when
+    BM25 over q query terms only needs per-doc token counts and the
+    tf/df of those q terms.  Both are array expressions evaluated in
+    the scan projection: tf_i = size(filter(arr, t = term_i)),
+    dl = size(arr).  The only remaining exchanges are a 1-row stats
+    aggregate (broadcast back) — the big tf Exchange, the dl Exchange
+    and the cache are gone, and every per-row value is identical, so
+    scores match the unchanged DuckDB oracle bit-for-bit (2-double
+    addition is commutative; per-term bm25 operands are equal).
+    """
+    qts = list(dict.fromkeys(query_terms))
+    arr = _tok_arr()
+
+    def _tf(qt: str):
+        # occurrence count via codegen'd array_remove (an ArrayFilter
+        # lambda would run interpreted per token)
+        return F.size(arr) - F.size(F.array_remove(arr, qt))
+
+    proj = docs.select(
+        "doc_id", F.size(arr).alias("dl"),
+        *[_tf(qt).alias(f"tf{i}") for i, qt in enumerate(qts)])
+    # the stats pass and the scoring pass both read proj; a lazy
+    # localCheckpoint of this slim (doc_id, dl, tf…) table tokenizes
+    # the corpus ONCE (released on the next _doc_scores call — nothing
+    # persists across bench/oracle invocations)
+    _release_proj_cache()
+    proj = proj.localCheckpoint(eager=False)
+    _PROJ_CACHE.append(proj)
+    stats = (proj.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dl").cast("double").alias("_tdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("double")
+          .alias(f"df{i}") for i in range(len(qts))])
+        .select("n", (F.col("_tdl") / F.col("n")).alias("avgdl"),
+                *[f"df{i}" for i in range(len(qts))]))
+    n_match = sum(
+        (F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+         for i in range(len(qts))), start=F.lit(0))
+    # absent terms contribute an exact +0.0 (present-term scores are
+    # strictly positive, so the sum equals the present-only sum)
+    score = sum(
+        (F.when(F.col(f"tf{i}") > 0, F.expr(bm25_sql(
+            f"tf{i}", "dl", f"df{i}", "n", "avgdl")))
+         .otherwise(F.lit(0.0)) for i in range(len(qts))),
+        start=F.lit(0.0))
+    return (proj.crossJoin(F.broadcast(stats))
+            .withColumn("n_match", n_match.cast("long"))
+            .filter(F.col("n_match") > 0)
+            .withColumn("score", score)
+            .select("doc_id", "score", "n_match", "dl", "n", "avgdl"))
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str, query_terms: list[str],
               k: int = 10, require_all: bool = True) -> DataFrame:
     """Top-k BM25 (AND or OR over terms) — the flagship serve query."""
     docs = load_documents(spark, sf_dir)
-    scored = _scores(docs, query_terms)
-    agg = scored.groupBy("doc_id").agg(
-        F.round(F.sum("score"), SCORE_ROUND).alias("score"),
-        F.count("*").alias("n_match"))
+    agg = _doc_scores(docs, query_terms)
     if require_all:
         agg = agg.filter(F.col("n_match") == len(query_terms))
-    return (agg.select("doc_id", "score")
+    return (agg.select("doc_id",
+                       F.round("score", SCORE_ROUND).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
@@ -182,33 +227,45 @@ TOKP_CTE = (
 )
 
 
+def _phrase_match(toks: list[str]):
+    """Boolean column: the doc's FILTERED token stream contains `toks`
+    adjacently — identical semantics to the former tokens_pos self-join
+    chain (pos = index in the filtered array), evaluated as ONE
+    codegen'd substring search per doc instead of n-1 shuffling
+    equi-joins (r06, guide §2.4): the token stream joined on a \\x01
+    delimiter (which no [a-z0-9]+ token can contain) contains
+    \\x01tok1\\x01tok2\\x01 iff the tokens are adjacent in the stream.
+    A phrase token outside the token alphabet can never equal an
+    indexed token, so those phrases match nothing — same as the join
+    chain — and are answered constant-False without touching data."""
+    import re as _re
+    if not toks or any(
+            _re.fullmatch("[a-z0-9]+", t) is None or len(t) < MIN_TOKEN_LEN
+            for t in toks):
+        return F.lit(False)
+    sep = "\x01"
+    needle = sep + sep.join(toks) + sep
+    hay = F.concat(F.lit(sep), F.concat_ws(sep, _tok_arr()), F.lit(sep))
+    return F.instr(hay, needle) > 0
+
+
+def _phrase_hits(docs: DataFrame, toks: list[str]) -> DataFrame:
+    """doc_ids whose filtered token stream contains the phrase."""
+    return docs.filter(_phrase_match(toks)).select("doc_id")
+
+
 def phrase_topk(spark: SparkSession, sf_dir: str, phrase: list[str],
                 k: int = 10) -> DataFrame:
     """Top-k BM25 over docs containing the EXACT phrase (tokens adjacent
     in the indexed stream) — true QT_EXACT semantics (per-node query-type
     payloads, reference/oscar-create/CellTextCompleter.h:457-473), not
     the AND-of-tokens degeneration.  Scoring = Σ BM25 of the member
-    terms (phrase constrains membership, not the scoring formula).
-
-    Plan shape: n-1 self-equi-joins on (doc_id, pos+i) over the slim
-    (doc_id, pos) rows of each token — each join key includes doc_id, so
-    at scale it shuffles by doc and never fans out beyond per-doc
-    occurrence counts."""
+    terms (phrase constrains membership, not the scoring formula)."""
     docs = load_documents(spark, sf_dir)
-    tp = tokens_pos(docs)
-    match = (tp.filter(F.col("term") == phrase[0])
-             .select("doc_id", F.col("pos").alias("p0")))
-    for i, tok in enumerate(phrase[1:], start=1):
-        nxt = (tp.filter(F.col("term") == tok)
-               .select("doc_id", (F.col("pos") - i).alias("p0")))
-        match = match.join(nxt, ["doc_id", "p0"])
-    hits = match.select("doc_id").distinct()
-    scored = _scores(docs, phrase)
-    agg = (scored.join(hits, "doc_id")
-           .groupBy("doc_id")
-           .agg(F.round(F.sum("score"), SCORE_ROUND).alias("score")))
-    return (agg.select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    hits = _phrase_hits(docs, phrase)
+    agg = (_doc_scores(docs, phrase).join(hits, "doc_id")
+           .select("doc_id", F.round("score", SCORE_ROUND).alias("score")))
+    return (agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
 def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
@@ -259,14 +316,11 @@ def fielded_topk(spark: SparkSession, sf_dir: str,
     field_val = normalize_field_value(field_val)
     docs = load_documents(spark, sf_dir)
     fnorm = _field_norm_expr(field_key)
-    scored = _scores(docs, query_terms)
-    agg = (scored.groupBy("doc_id")
-           .agg(F.sum("score").alias("ts"),
-                F.count("*").alias("nm"),
-                F.first("dl").alias("dl"),
-                F.first("n").alias("n"),
-                F.first("avgdl").alias("avgdl"))
-           .filter(F.col("nm") == len(query_terms)))
+    # r06: _doc_scores already carries (score=Σ present-term bm25,
+    # n_match, dl, n, avgdl) per doc — the former groupBy + first()
+    # re-aggregation is gone
+    agg = (_doc_scores(docs, query_terms)
+           .filter(F.col("n_match") == len(query_terms)))
     fdocs = docs.filter(fnorm == field_val).select("doc_id")
     fstat = docs.agg(
         F.sum(F.when(fnorm == field_val, 1).otherwise(0))
@@ -274,7 +328,7 @@ def fielded_topk(spark: SparkSession, sf_dir: str,
     return (agg.join(fdocs, "doc_id")
             .crossJoin(F.broadcast(fstat))
             .withColumn("score", F.round(
-                F.col("ts") + F.expr(bm25_sql(
+                F.col("score") + F.expr(bm25_sql(
                     "1.0", "dl", "fdf", "n", "avgdl")), SCORE_ROUND))
             .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
@@ -318,24 +372,24 @@ def fielded_topk_sql(query_terms: list[str], field_key: str,
 
 def set_op(spark: SparkSession, sf_dir: str, term_a: str, term_b: str,
            op: str) -> DataFrame:
-    """Doc-id set algebra between two terms (§2.6: + / ' ' / - / ^)."""
-    t = tokens(load_documents(spark, sf_dir)).distinct()
-    a = t.filter(F.col("term") == term_a).select("doc_id")
-    b = t.filter(F.col("term") == term_b).select("doc_id")
-    if op == "and":
-        out = a.join(b, "doc_id", "inner")
-    elif op == "or":
-        out = a.union(b).distinct()
-    elif op == "not":
-        out = a.join(b, "doc_id", "left_anti")
-    elif op == "xor":
-        l = a.withColumn("_l", F.lit(1))
-        r = b.withColumn("_r", F.lit(1))
-        out = (l.join(r, "doc_id", "full_outer")
-               .filter(F.col("_l").isNull() | F.col("_r").isNull()))
-    else:
+    """Doc-id set algebra between two terms (§2.6: + / ' ' / - / ^).
+
+    r06: per-doc membership is array_contains over the tokenized text —
+    one corpus scan and a boolean filter replace two token explodes, a
+    corpus-wide distinct and a join (a doc is in set A iff its token
+    array contains term_a; the four set algebras are then boolean
+    combinations of the two flags, guide §2.4)."""
+    arr = _tok_arr()
+    has_a = F.array_contains(arr, term_a)
+    has_b = F.array_contains(arr, term_b)
+    cond = {"and": has_a & has_b,
+            "or": has_a | has_b,
+            "not": has_a & ~has_b,
+            "xor": has_a != has_b}.get(op)
+    if cond is None:
         raise ValueError(op)
-    return out.select("doc_id").orderBy("doc_id")
+    return (load_documents(spark, sf_dir).filter(cond)
+            .select("doc_id").orderBy("doc_id"))
 
 
 def set_op_sql(term_a: str, term_b: str, op: str) -> str:
@@ -371,9 +425,9 @@ def facet_stats(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
     rank).  Here the doc 'tags' are the lang and source columns; the
     result set is the docs containing `term`."""
     docs = load_documents(spark, sf_dir)
-    hits = (tokens(docs).filter(F.col("term") == term)
-            .select("doc_id").distinct())
-    matched = docs.join(hits, "doc_id")
+    # r06: membership via array_contains in one scan — no token
+    # explode, no distinct, no self-join back onto documents
+    matched = docs.filter(F.array_contains(_tok_arr(), term))
     return (_facet_kv(matched).groupBy("key", "value")
             .agg(F.count("*").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("key"), F.asc("value")))
@@ -412,24 +466,21 @@ def query_ids(docs: DataFrame, node) -> DataFrame:
             k, _, v = t.partition(":")
             return (docs.filter(_field_norm_expr(k) == v)
                     .select("doc_id"))
-        return (tokens(docs).filter(F.col("term") == t)
-                .select("doc_id").distinct())
+        # r06: one-scan membership test (see set_op)
+        return (docs.filter(F.array_contains(_tok_arr(), t))
+                .select("doc_id"))
     if kind in ("prefix", "suffix", "substr"):
         stem = node[1]
-        cond = {"prefix": F.col("term").startswith(stem),
-                "suffix": F.col("term").endswith(stem),
-                "substr": F.col("term").contains(stem)}[kind]
-        return tokens(docs).filter(cond).select("doc_id").distinct()
+        cond = {"prefix": lambda c: c.startswith(stem),
+                "suffix": lambda c: c.endswith(stem),
+                "substr": lambda c: c.contains(stem)}[kind]
+        # r06: exists() over the token array — no explode, no distinct
+        return (docs.filter(F.exists(_tok_arr(), lambda t: cond(t)))
+                .select("doc_id"))
     if kind == "phrase":
-        toks = list(node[1])
-        tp = tokens_pos(docs)
-        match = (tp.filter(F.col("term") == toks[0])
-                 .select("doc_id", F.col("pos").alias("p0")))
-        for i, tok in enumerate(toks[1:], start=1):
-            nxt = (tp.filter(F.col("term") == tok)
-                   .select("doc_id", (F.col("pos") - i).alias("p0")))
-            match = match.join(nxt, ["doc_id", "p0"])
-        return match.select("doc_id").distinct()
+        # r06: per-doc adjacency scan (see _phrase_match) replaces the
+        # n-1 positional self-joins
+        return _phrase_hits(docs, list(node[1]))
     l, r = query_ids(docs, node[1]), query_ids(docs, node[2])
     if kind == "and":
         return l.join(r, "doc_id", "left_semi")

@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # deliberately NOT scan.parallelize'd: these tables feed partial-
+    # aggregating groupBys / joins directly, so a round-robin exchange
+    # would shuffle full data rows to save a 1-2 task scan stage — a
+    # net loss (unlike documents/embeddings, whose per-row compute is
+    # the expensive part).  lineitem at sf1.0 already splits into
+    # multiple scan tasks via its row groups.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast float32 → double BEFORE any arithmetic (exact widening) so the
     # Spark and DuckDB oracles do identical double-precision math
-    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from oscar_spark.operators.scan import parallelize
+    return (parallelize(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
             .withColumn("embedding", F.col("embedding").cast("array<double>")))
 
 

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oscar_spark.operators.fulltext_sql import load_documents
+def load_documents(spark, sf_dir):
+    # textstats are per-row projections (no explode, no heavy agg): a
+    # scan.parallelize round-robin Exchange costs more than the
+    # single-task scan saves at the count/collect boundary, so these
+    # read the table directly (deliberate r06 non-change; the fts/dedup
+    # operators DO parallelize — their pre-shuffle compute dominates).
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 # pinned per-language stopword lists (fixture-agnostic, tiny)
 LANG_STOPWORDS = {
