@@ -883,12 +883,18 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
 
         st = threading.Thread(target=_stats_job)
         st.start()
-        _write_terms_rev(store, terms)
-        # the ngram mirror carries 2-grams (short-stem substring path);
-        # serve only takes the 2-char pruned path when this flag says
-        # the mirror has them (older stores fall back to the scan)
-        store.set_meta("ngram2", True)
-        st.join()
+        try:
+            _write_terms_rev(store, terms)
+            # the ngram mirror carries 2-grams (short-stem substring
+            # path); serve only takes the 2-char pruned path when this
+            # flag says the mirror has them (older stores fall back to
+            # the scan)
+            store.set_meta("ngram2", True)
+        finally:
+            # join even when the mirror writes raise: otherwise the
+            # stats collect keeps running concurrently with error
+            # teardown (round-5 ADVICE)
+            st.join()
         if "err" in _stats:
             raise _stats["err"]
         bucket_stats = _stats["rows"]

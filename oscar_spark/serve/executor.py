@@ -66,6 +66,14 @@ _PRELOAD_CACHE: dict = {}
 _PRELOAD_CACHE_MAX = 4
 
 
+def clear_preload_cache() -> None:
+    """Drop every cached terms preload (round-5 ADVICE: the module
+    cache outlives SearchEngine instances, so long-lived processes
+    switching stores want an explicit release; drop_memory() also
+    evicts its own engine's entry)."""
+    _PRELOAD_CACHE.clear()
+
+
 class _StageTimer:
     """Per-query wall-clock split across serve stages — the analog of
     the reference's cqr-calc / subSet / toGlobalIds / flaten breakdown
@@ -259,6 +267,20 @@ class SearchEngine:
         self.postings = self.postings.unpersist()
         self.terms = self.terms.unpersist()
         self._release_brute_cache()
+        # also release THIS engine's driver-side preload entry (term
+        # dict + lazy rev/gram mirrors) — the largest driver-resident
+        # structure; without this, "drop memory" no longer dropped it
+        # once the round-5 preload cache landed (round-5 ADVICE).  The
+        # engine's own references are cleared too; the next query path
+        # that needs them falls back to Spark-side lookups, and a fresh
+        # SearchEngine re-preloads.
+        for k in [k for k, v in _PRELOAD_CACHE.items()
+                  if v is self._preload]:
+            _PRELOAD_CACHE.pop(k, None)
+        self._preload = {"df": None, "sorted": None, "rev": None,
+                         "grams": None}
+        self._term_df = self._term_sorted = None
+        self._term_sorted_rev = self._term_grams = None
 
     def _release_brute_cache(self) -> None:
         if self._brute_cache is not None:
@@ -986,6 +1008,14 @@ class SearchEngine:
             if shape in ("single", "and", "or") and \
                     total < self.PRUNE_MIN_POSTINGS:
                 present = [t for t in terms if dfmap.get(t, 0) > 0]
+                if not present:
+                    # e.g. a single/OR query of absent-only terms:
+                    # search() returns [] for these; classifying them
+                    # 'local' with present=[] used to crash the batch
+                    # path when NO other query contributed union terms
+                    # (shared stayed None — round-5 ADVICE fix)
+                    plans.append((q, "empty", None))
+                    continue
                 req = len(terms) if shape == "and" else None
                 plans.append((q, "local", (present, dfmap, req)))
                 for t in present:

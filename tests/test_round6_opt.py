@@ -167,3 +167,36 @@ def test_phrase_candidate_range_intersection(spark, built_index):
     # job and still passes on the pruned path)
     res = eng.search('"north south"', k=10)
     assert isinstance(res, list)
+
+
+def test_search_many_all_absent_terms(spark, built_index):
+    """round-5 ADVICE medium: a batch whose every eligible query has no
+    present terms must return [] per query, not crash."""
+    from oscar_spark.serve.executor import SearchEngine
+    d, _ = built_index
+    eng = SearchEngine(spark, d)
+    assert eng.search_many(["nosuchterm"], k=5) == [[]]
+    assert eng.search_many(["nosuchterm", "alsomissing + gonetoo"],
+                           k=5) == [[], []]
+    # mixed batch still serves the present-term query
+    got = eng.search_many(["nosuchterm", "the"], k=5)
+    assert got[0] == [] and got[1] == eng.search("the", k=5)
+
+
+def test_drop_memory_releases_preload(spark, built_index):
+    """round-5 ADVICE low: drop_memory must release the driver-side
+    preload cache entry, not only executor caches."""
+    from oscar_spark.serve import executor as ex
+    d, _ = built_index
+    eng = ex.SearchEngine(spark, d)
+    assert eng._term_df is not None  # fixture is below the preload cap
+    n_before = len(ex._PRELOAD_CACHE)
+    eng.drop_memory()
+    assert eng._term_df is None and eng._term_sorted is None
+    assert len(ex._PRELOAD_CACHE) == n_before - 1
+    # engine still answers (falls back to Spark-side term lookups)
+    assert eng.search("the", k=3)
+    eng2 = ex.SearchEngine(spark, d)   # re-preloads fresh
+    assert eng2._term_df is not None
+    ex.clear_preload_cache()
+    assert len(ex._PRELOAD_CACHE) == 0
