@@ -123,14 +123,20 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame],
         tf_cnt = np.diff(np.append(starts, len(sk))).astype("int32")
         gi = sk[starts] // n_uniq
         gc = sk[starts] % n_uniq
-        # keep empty docs visible (term NULL = categorical code -1) so
-        # doc_stats/N/avgdl count them — matching the oracle's semantics
-        empty_idx = np.flatnonzero(counts == 0)
-        if len(empty_idx):
-            gi = np.concatenate([gi, empty_idx])
-            gc = np.concatenate([gc, np.full(len(empty_idx), -1,
+        # r06: ONE NULL-term marker row (categorical code -1, tf=0) per
+        # doc — not just per EMPTY doc as before — carrying the doc's
+        # dl.  doc_stats then derives per-doc lengths with a cheap
+        # `term IS NULL` filter over these ~1% extra rows instead of a
+        # full re-aggregation pass over the whole token table (guide
+        # §2.3/§2.4 — the groupBy(url) and its exchange are deleted).
+        # Empty docs stay visible exactly as before: their marker is
+        # their only row, so N/avgdl still count them.
+        all_idx = np.arange(len(counts), dtype=np.int64)
+        if len(all_idx):
+            gi = np.concatenate([gi, all_idx])
+            gc = np.concatenate([gc, np.full(len(all_idx), -1,
                                              dtype=gc.dtype)])
-            tf_cnt = np.concatenate([tf_cnt, np.zeros(len(empty_idx),
+            tf_cnt = np.concatenate([tf_cnt, np.zeros(len(all_idx),
                                                       dtype="int32")])
         # factorize urls first: from_codes requires UNIQUE categories,
         # and one batch may legitimately carry the same url twice (e.g.
@@ -156,8 +162,8 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame],
             pos_sorted = tok_pos[order]
             plists = [a.astype("int32") for a in
                       np.split(pos_sorted, starts[1:])] if len(sk) else []
-            if len(empty_idx):
-                plists += [np.empty(0, dtype="int32")] * len(empty_idx)
+            if len(all_idx):  # marker rows carry an empty position list
+                plists += [np.empty(0, dtype="int32")] * len(all_idx)
             out["pos"] = plists
         yield pd.DataFrame(out)
         if field_cols and len(pdf):
@@ -254,7 +260,10 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
         if len(pdf) == 0:
             continue
         terms = pdf["term"].to_numpy()
-        rngs = pdf["range_id"].to_numpy()
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        # range_id no longer rides the shuffle — one numpy divide
+        # recreates it (doc-id ranges are fixed-width)
+        rngs = ids // RANGE_SIZE
         last_group = (terms == terms[-1]) & (rngs == rngs[-1])
         # sorted input ⇒ the trailing group is a suffix
         cut = len(pdf) - int(last_group[::-1].cumprod().sum())
@@ -262,8 +271,8 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
         pending = pdf.iloc[cut:]
         if len(head):
             yield _encode_run(
-                head["term"].to_numpy(), head["range_id"].to_numpy(),
-                head["doc_id"].to_numpy(np.int64),
+                head["term"].to_numpy(), rngs[:cut],
+                ids[:cut],
                 head["tf"].to_numpy(np.int64),
                 head["dl"].to_numpy(np.int64), codec,
                 head["pos"].to_numpy() if with_positions else None)
@@ -271,12 +280,100 @@ def _encode_partition(batches: Iterator[pd.DataFrame],
     if tail:
         pdf = pd.concat(tail, ignore_index=True)
         if len(pdf):
+            ids = pdf["doc_id"].to_numpy(np.int64)
             yield _encode_run(
-                pdf["term"].to_numpy(), pdf["range_id"].to_numpy(),
-                pdf["doc_id"].to_numpy(np.int64),
+                pdf["term"].to_numpy(), ids // RANGE_SIZE,
+                ids,
                 pdf["tf"].to_numpy(np.int64),
                 pdf["dl"].to_numpy(np.int64), codec,
                 pdf["pos"].to_numpy() if with_positions else None)
+
+
+def _encode_partition_arrow(batches, codec: str = "varint"):
+    """Arrow-native partition encoder (non-positional builds): same
+    carry-over protocol and byte-identical blocks as _encode_partition,
+    but the 10^7 shuffled term strings NEVER materialize as Python
+    objects — mapInArrow hands pyarrow record batches whose string
+    column is dictionary-encoded in C++ (one hash pass), group
+    detection runs on the int32 codes, and the output term column is a
+    C++ dictionary gather (guide §4.2: hand whole batches to native
+    code; the Arrow→pandas object-array conversion was the dominant
+    per-task cost of the encode stage).  Positional builds keep the
+    pandas path: their per-posting position LISTS have no cheap
+    Arrow→numpy form, and positions are an opt-in index mode off the
+    bench path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc  # noqa: F401  (dictionary ops)
+
+    from oscar_spark.functions.tokenize import _pin_arrow_threads
+    _pin_arrow_threads()
+
+    def _emit(tbl: pa.Table) -> pa.RecordBatch | None:
+        n = tbl.num_rows
+        if n == 0:
+            return None
+        term_dict = tbl.column("term").combine_chunks().dictionary_encode()
+        codes = term_dict.indices.to_numpy().astype(np.int64)
+        ids = tbl.column("doc_id").combine_chunks().to_numpy()
+        tfs = tbl.column("tf").combine_chunks().to_numpy()
+        dls = tbl.column("dl").combine_chunks().to_numpy()
+        res = encode_runs(codes, ids // RANGE_SIZE,
+                          ids.astype(np.int64), tfs.astype(np.int64),
+                          dls.astype(np.int64), BLOCK_SIZE, RANGE_SIZE,
+                          codec=codec)
+        out_codes = pa.array(np.asarray(res["term"], dtype=np.int64)
+                             .astype(np.int32), pa.int32())
+        return pa.record_batch({
+            "term": term_dict.dictionary.take(out_codes),
+            "range_id": pa.array(np.asarray(res["range_id"], np.int64),
+                                 pa.int64()),
+            "first_doc": pa.array(np.asarray(res["first_doc"], np.int64),
+                                  pa.int64()),
+            "last_doc": pa.array(np.asarray(res["last_doc"], np.int64),
+                                 pa.int64()),
+            "doc_count": pa.array(np.asarray(res["doc_count"], np.int64)
+                                  .astype(np.int32), pa.int32()),
+            "max_tf": pa.array(np.asarray(res["max_tf"], np.int64)
+                               .astype(np.int32), pa.int32()),
+            "min_dl": pa.array(np.asarray(res["min_dl"], np.int64)
+                               .astype(np.int32), pa.int32()),
+            "payload": pa.array(list(res["payload"]), pa.binary()),
+        })
+
+    pending: pa.Table | None = None
+    buf: list[pa.RecordBatch] = []
+    buf_rows = 0
+    for batch in batches:
+        buf.append(batch)
+        buf_rows += batch.num_rows
+        if buf_rows < 262144:
+            continue
+        tbl = pa.Table.from_batches(buf)
+        buf, buf_rows = [], 0
+        if pending is not None and pending.num_rows:
+            tbl = pa.concat_tables([pending, tbl])
+        tbl = tbl.combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            continue
+        ids = tbl.column("doc_id").to_numpy()
+        rngs = ids // RANGE_SIZE
+        term_dict = tbl.column("term").combine_chunks().dictionary_encode()
+        codes = term_dict.indices.to_numpy()
+        last_group = (codes == codes[-1]) & (rngs == rngs[-1])
+        # sorted input ⇒ the trailing group is a suffix
+        cut = n - int(last_group[::-1].cumprod().sum())
+        pending = tbl.slice(cut)
+        if cut:
+            out = _emit(tbl.slice(0, cut))
+            if out is not None:
+                yield out
+    tails = ([pending] if pending is not None and pending.num_rows else []) \
+        + ([pa.Table.from_batches(buf)] if buf else [])
+    if tails:
+        out = _emit(pa.concat_tables(tails).combine_chunks())
+        if out is not None:
+            yield out
 
 
 _FINAL_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
@@ -302,21 +399,26 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
         doc_ids = F.broadcast(doc_ids)
     # else: plain shuffle join; at 10^12 docs the doc_id map is
     # itself big, and AQE picks the join strategy
-    cols = ["term", "range_id", "doc_id", "tf", "dl"] + \
+    cols = ["term", "doc_id", "tf", "dl"] + \
         (["pos"] if positions else [])
     postings_raw = (
         tokens.filter(F.col("term").isNotNull())
         .join(doc_ids, "url")
-        .withColumn("range_id",
-                    (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long"))
         # url is join-only: drop it BEFORE the big shuffle (its ~55
         # string bytes per posting row would be over half the
         # shuffle/Arrow traffic).  The short term string stays — see
         # the BLOCKS_SCHEMA note for why no term dictionary.  A
         # positional build additionally carries each posting's position
         # list (~Σtf int32s — the inherent cost of a positional index).
+        # r06: range_id is NOT carried as a shuffle column — it is
+        # doc_id // RANGE_SIZE, so the partitioner hashes the derived
+        # EXPRESSION (identical partition assignment) and the encoder
+        # recomputes it per unit with one numpy divide; 8 bytes/row less
+        # through the shuffle AND the Arrow boundary (guide §2.3
+        # "shuffle fewer bytes").
         .select(*cols)
     )
+    range_expr = (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long")
     # the one big shuffle: hash-partition by (term, range_id), sort
     # within partitions — Spark's shuffle-with-spill is the external
     # sort (O5) — then encode whole partitions with a carry-over
@@ -326,13 +428,21 @@ def _final_blocks(spark: SparkSession, tokens: DataFrame,
     # skewed, and coarse tasks leave cores idle behind stragglers
     n_enc = max(spark.sparkContext.defaultParallelism * 4,
                 int(spark.conf.get("spark.sql.shuffle.partitions")))
-    blocks = (postings_raw
-              .repartition(n_enc, "term", "range_id")
-              .sortWithinPartitions("term", "range_id", "doc_id")
-              .mapInPandas(
-                  lambda it, _c=codec, _p=positions:
-                      _encode_partition(it, _c, _p),
-                  BLOCKS_POS_SCHEMA if positions else BLOCKS_SCHEMA))
+    # sorting by (term, doc_id) ≡ (term, range_id, doc_id): range_id is
+    # monotone in doc_id within a term
+    shuffled = (postings_raw
+                .repartition(n_enc, F.col("term"), range_expr)
+                .sortWithinPartitions("term", "doc_id"))
+    if positions:
+        blocks = shuffled.mapInPandas(
+            lambda it, _c=codec: _encode_partition(it, _c, True),
+            BLOCKS_POS_SCHEMA)
+    else:
+        # Arrow-native encode: term strings stay in C++ buffers end to
+        # end (see _encode_partition_arrow)
+        blocks = shuffled.mapInArrow(
+            lambda it, _c=codec: _encode_partition_arrow(it, _c),
+            BLOCKS_SCHEMA)
     # phase 2 (the explicit two-phase merge) runs on the TINY blocks
     # stream (~rows/BLOCK_SIZE): per-term df, the block-max upper
     # bound, and global block numbering.  A term's blocks live wholly
@@ -739,7 +849,11 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
     # disk-backed, fully parallel, and doubles as a resume snapshot
     # (store→store re-import, reference/oscar-create/oscarcreate.cpp:86-116).
     ffp = ",".join(fields)
-    tfp = f"{fp}|pos={int(positions)}|f={ffp}"
+    # |m2 = tokens-table format 2 (per-doc NULL-term marker rows): a
+    # store whose tokens were committed WITHOUT markers must re-tokenize
+    # on resume, or the marker-filter doc_lens below would see only
+    # empty docs
+    tfp = f"{fp}|pos={int(positions)}|f={ffp}|m2"
     if resume and store.committed("tokens", tfp):
         resumed.append("tokens")
     else:
@@ -756,10 +870,12 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
     if resume and store.committed("doc_stats", fp):
         resumed.append("doc_stats")
     else:
-        # all rows of a url share one dl and live in one input partition,
-        # so the groupBy is a map-side partial agg: ~n_docs rows shuffle
-        doc_lens = tokens.groupBy("url").agg(
-            F.first("dl").alias("doc_len"))
+        # r06: per-doc lengths come from the tokenizer's NULL-term
+        # marker rows (exactly one per doc, tf=0, dl attached) — a
+        # column-pruned filter scan instead of a full groupBy(url) pass
+        # + exchange over the whole token table (guide §2.3/§2.4)
+        doc_lens = (tokens.filter(F.col("term").isNull())
+                    .select("url", F.col("dl").alias("doc_len")))
         # quality := doc_len (pinned static score for the fixture corpus)
         doc_lens = doc_lens.withColumn(
             "quality", F.col("doc_len").cast("double"))
@@ -864,32 +980,43 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
             .agg(F.sum("doc_count").cast("long").alias("df"),
                  F.count("*").cast("long").alias("n_blocks"))
         )
-        # term-sorted within each bucket: parquet row-group min/max on
-        # `term` then prunes dictionary range scans (prefix expansion)
-        # even though buckets are hash-partitioned
-        store.write(terms_src.repartition("bucket")
-                    .sortWithinPartitions("bucket", "term"),
-                    "terms", partition_by=["bucket"])
-        terms = store.read(spark, "terms")
-        # the per-bucket stats collect (lineage rows + global counts) is
-        # independent of the wildcard mirrors and, like them, reads only
-        # the just-written terms parquet: run all three jobs
-        # concurrently — serially each pays its own job launch/barrier,
-        # a core-count-independent cost that taxes N→4N scaling at
-        # bench scale (fixed-cost model, BENCH/CAPABILITY.md)
+        # r06: all FOUR jobs of this stage — the terms write (term-
+        # sorted within each bucket so parquet row-group min/max prunes
+        # dictionary range scans), both wildcard-mirror writes, and the
+        # bucket-stats collect — derive from the same deterministic
+        # aggregation over the COMMITTED postings parquet (terms_src),
+        # so they are independent and run CONCURRENTLY (guide §2.6).
+        # The mirrors/stats previously waited for the committed terms
+        # parquet, serializing the stage behind two extra job-latency
+        # barriers; re-running the ~0.2s terms_src lineage per job is
+        # far cheaper.  Contents are unchanged: the mirrors project only
+        # (term, df) and the agg is deterministic on committed input,
+        # so "df provably equals the posting contents" (FIXTURES.md
+        # inv 2) still holds for everything written here.
         import threading
         _stats: dict = {}
+        _terr: list[BaseException] = []
+
+        def _terms_job() -> None:
+            try:
+                store.write(terms_src.repartition("bucket")
+                            .sortWithinPartitions("bucket", "term"),
+                            "terms", partition_by=["bucket"])
+            except BaseException as e:
+                _terr.append(e)
 
         def _stats_job() -> None:
             try:
-                _stats["rows"] = _collect_bucket_stats(terms)
+                _stats["rows"] = _collect_bucket_stats(terms_src)
             except BaseException as e:
                 _stats["err"] = e
 
+        tt = threading.Thread(target=_terms_job)
         st = threading.Thread(target=_stats_job)
+        tt.start()
         st.start()
         try:
-            _write_terms_rev(store, terms)
+            _write_terms_rev(store, terms_src)
             # the ngram mirror carries 2-grams (short-stem substring
             # path); serve only takes the 2-char pruned path when this
             # flag says the mirror has them (older stores fall back to
@@ -897,9 +1024,12 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
             store.set_meta("ngram2", True)
         finally:
             # join even when the mirror writes raise: otherwise the
-            # stats collect keeps running concurrently with error
-            # teardown (round-5 ADVICE)
+            # terms write / stats collect keep running concurrently
+            # with error teardown (round-5 ADVICE)
+            tt.join()
             st.join()
+        if _terr:
+            raise _terr[0]
         if "err" in _stats:
             raise _stats["err"]
         bucket_stats = _stats["rows"]
@@ -988,8 +1118,10 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
     # pruned scan of n_old single urls), matching the full build's
     # one-doc-per-url groupBy semantics; its orphaned token rows never
     # meet a doc_id and fall out of the postings join ----
-    doc_lens = (tokens_new.groupBy("url")
-                .agg(F.first("dl").alias("doc_len"))
+    # per-doc lengths from the tokenizer's NULL-term marker rows (one
+    # per doc) — same filter-not-groupBy shape as the full build (r06)
+    doc_lens = (tokens_new.filter(F.col("term").isNull())
+                .select("url", F.col("dl").alias("doc_len"))
                 .join(store.read(spark, "doc_stats").select("url"),
                       "url", "left_anti")
                 .withColumn("quality", F.col("doc_len").cast("double"))
@@ -1076,7 +1208,7 @@ def ingest_segment(spark: SparkSession, new_pages: DataFrame,
 
     # ---- ONE atomic snapshot commit (fingerprint scheme matches
     # build_index's, incl. the positional/fielded flags) ----
-    tfp = f"{fp}|pos={int(positions)}|f={','.join(fields)}"
+    tfp = f"{fp}|pos={int(positions)}|f={','.join(fields)}|m2"
     pfp = f"{fp}|codec={codec}|pos={int(positions)}|f={','.join(fields)}"
     trfp = f"{fp}|f={','.join(fields)}"
     store.commit_append(

@@ -220,3 +220,44 @@ def test_prewarm_thread_started_by_get_spark(spark):
     """get_spark launches the async prewarm/keepalive thread at most
     once per context (flag set on the SparkContext)."""
     assert getattr(spark.sparkContext, "_oscar_prewarmed", False)
+
+
+def test_arrow_encoder_matches_pandas_encoder():
+    """_encode_partition_arrow (mapInArrow path) must emit exactly the
+    blocks of _encode_partition (mapInPandas path) — same rows, same
+    payload bytes — including across the 262144-row carry boundary and
+    for every codec."""
+    import pyarrow as pa
+
+    from oscar_spark.build import indexer
+
+    rng = np.random.RandomState(7)
+    n_terms, n = 400, 600_000
+    term_ids = np.sort(rng.randint(0, n_terms, size=n))
+    terms = np.array([f"t{i:05d}" for i in range(n_terms)])[term_ids]
+    # doc ids sorted within each term, spanning several ranges
+    ids = np.empty(n, dtype=np.int64)
+    bounds = np.flatnonzero(np.concatenate(
+        ([True], term_ids[1:] != term_ids[:-1])))
+    for lo, hi in zip(bounds, np.append(bounds[1:], n)):
+        ids[lo:hi] = np.sort(rng.randint(0, 3 * indexer.RANGE_SIZE,
+                                         size=hi - lo))
+        # doc ids must be unique per (term, range) group for the codec
+        ids[lo:hi] = np.cumsum(
+            np.maximum(np.diff(np.concatenate(([0], ids[lo:hi]))), 1))
+    tfs = rng.randint(1, 9, size=n).astype("int32")
+    dls = rng.randint(10, 300, size=n).astype("int32")
+    pdf = pd.DataFrame({"term": terms, "doc_id": ids, "tf": tfs,
+                        "dl": dls})
+    cuts = [0, 50_000, 263_000, 300_001, 555_555, n]
+    pdf_batches = [pdf.iloc[a:b].reset_index(drop=True)
+                   for a, b in zip(cuts, cuts[1:])]
+    pa_batches = [pa.RecordBatch.from_pandas(b, preserve_index=False)
+                  for b in pdf_batches]
+    for codec in ("varint", "pfor", "ef", "wah"):
+        a = pd.concat(list(indexer._encode_partition(
+            iter(pdf_batches), codec, False)), ignore_index=True)
+        b = pa.Table.from_batches(list(indexer._encode_partition_arrow(
+            iter(pa_batches), codec))).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True))
