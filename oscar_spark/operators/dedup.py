@@ -324,16 +324,19 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     # shuffle" — with the shuffle itself removed).
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
     withbits = t.withColumn("h", h)
-    one = F.lit(1).cast("long")
+    # r06b: Σ_occ ±1 per bit ≡ 2·Σ_occ bit_j − n_occ (exact integers),
+    # so each per-row aggregate operand is a bare shift+mask instead of
+    # a conditional branch (half the codegen'd expression work per
+    # occurrence × bit), plus ONE shared count
     sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
-                     one).otherwise(-one))
-        .alias(f"b{j}") for j in range(bits)
-    ]
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(1))
+        .alias(f"s{j}") for j in range(bits)
+    ] + [F.count("*").alias("n_occ")]
     agg = withbits.groupBy("doc_id").agg(*sums)
     sim = agg.select(
         "doc_id",
-        sum((F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        sum((F.when(2 * F.col(f"s{j}") > F.col("n_occ"),
+                    F.lit(1 << j)).otherwise(F.lit(0)))
             for j in range(bits)).cast("long").alias("simhash"))
     return sim.orderBy("doc_id")
 
@@ -388,17 +391,19 @@ def _simhash64_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     hlo = F.conv(F.substring(F.md5(F.col("term")), 9, 8), 16, 10) \
         .cast("long")
     wb = t.withColumn("hhi", hhi).withColumn("hlo", hlo)
-    one = F.lit(1).cast("long")
+    # r06b: same 2·Σbit − n identity as simhash() — bare shift+mask
+    # aggregate operands plus one shared count instead of 64
+    # conditional ±1 branches per occurrence
     sums = (
-        [F.sum(F.when(F.shiftright(F.col("hlo"), j).bitwiseAND(1) == 1,
-                      one).otherwise(-one))
+        [F.sum(F.shiftright(F.col("hlo"), j).bitwiseAND(1))
          .alias(f"l{j}") for j in range(32)]
-        + [F.sum(F.when(F.shiftright(F.col("hhi"), j).bitwiseAND(1) == 1,
-                        one).otherwise(-one))
-           .alias(f"h{j}") for j in range(32)])
+        + [F.sum(F.shiftright(F.col("hhi"), j).bitwiseAND(1))
+           .alias(f"h{j}") for j in range(32)]
+        + [F.count("*").alias("n_occ")])
     agg = wb.groupBy("doc_id").agg(*sums)
     pack = lambda pfx: sum(  # noqa: E731
-        (F.when(F.col(f"{pfx}{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        (F.when(2 * F.col(f"{pfx}{j}") > F.col("n_occ"),
+                F.lit(1 << j)).otherwise(F.lit(0)))
         for j in range(32)).cast("long")
     return agg.select("doc_id", pack("h").alias("sim_hi"),
                       pack("l").alias("sim_lo"))

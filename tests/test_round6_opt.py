@@ -261,3 +261,27 @@ def test_arrow_encoder_matches_pandas_encoder():
             iter(pa_batches), codec))).to_pandas()
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_simhash_bitsum_count_identity(spark):
+    """2·Σ_occ bit_j − n_occ ≡ Σ_occ (±1) — the integer identity behind
+    the r06b simhash aggregate rewrite (bare shift+mask operands plus
+    one shared count instead of per-bit conditional ±1 branches)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, h) for h in (0b1010, 0b0110, 0b1110, 0b0001)]
+        + [(2, h) for h in (0b1111, 0b0000)],
+        "doc_id long, h long")
+    bits = 4
+    one = F.lit(1).cast("long")
+    old = df.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(1) == 1, one)
+              .otherwise(-one)).alias(f"b{j}") for j in range(bits)])
+    new = df.groupBy("doc_id").agg(
+        *[F.sum(F.shiftright("h", j).bitwiseAND(1)).alias(f"s{j}")
+          for j in range(bits)], F.count("*").alias("n"))
+    o = {r["doc_id"]: [r[f"b{j}"] for j in range(bits)]
+         for r in old.collect()}
+    n = {r["doc_id"]: [2 * r[f"s{j}"] - r["n"] for j in range(bits)]
+         for r in new.collect()}
+    assert o == n
