@@ -87,7 +87,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     4 bands) is 1-(1-J²)⁴ ≈ 0.98 — the standard MinHash-LSH tradeoff;
     the oracle runs the identical candidate pipeline so results match.
     """
-    sh = _shingles(load_documents(spark, sf_dir))
+    sh = _shingles(load_documents(spark, sf_dir, heavy=True))
     cand = _lsh_candidates(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (cand
@@ -153,7 +153,8 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim rows instead of every shingle string twice (once for the
     distinct, once for this agg).
     """
-    sh = _shingles(load_documents(spark, sf_dir), distinct=False)
+    sh = _shingles(load_documents(spark, sf_dir, heavy=True),
+                   distinct=False)
     aggs = [F.min(F.md5(F.concat(F.lit(str(p)), F.col("shingle"))))
             .alias(f"sig{p}") for p in range(MINHASH_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)

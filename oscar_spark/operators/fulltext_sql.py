@@ -25,9 +25,11 @@ from oscar_spark.config import MIN_TOKEN_LEN, SCORE_ROUND, TOKEN_SPLIT_RE
 from oscar_spark.functions.bm25 import bm25_sql
 
 
-def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_documents(spark: SparkSession, sf_dir: str,
+                   heavy: bool = False) -> DataFrame:
     from oscar_spark.operators.scan import parallelize
-    return parallelize(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return parallelize(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                       heavy=heavy)
 
 
 # regexp_extract_all form of the pinned tokenizer: maximal [a-z0-9]
