@@ -988,12 +988,19 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
         # so they are independent and run CONCURRENTLY (guide §2.6).
         # The mirrors/stats previously waited for the committed terms
         # parquet, serializing the stage behind two extra job-latency
-        # barriers; re-running the ~0.2s terms_src lineage per job is
-        # far cheaper.  Contents are unchanged: the mirrors project only
+        # barriers.  Contents are unchanged: the mirrors project only
         # (term, df) and the agg is deterministic on committed input,
         # so "df provably equals the posting contents" (FIXTURES.md
         # inv 2) still holds for everything written here.
+        # r06 session 3: terms_src is materialized ONCE (eager
+        # localCheckpoint — one 16-task agg job) instead of re-running
+        # the postings-parquet agg lineage inside every one of the 5+
+        # concurrent jobs (terms write, 2 mirror range-samples, 2
+        # mirror writes, stats collect); the dictionary is O(vocab)
+        # slim rows, the standard distributed MEMORY_AND_DISK shape at
+        # any scale, and it is unpersisted before the stage commits.
         import threading
+        terms_src = terms_src.localCheckpoint(eager=True)
         _stats: dict = {}
         _terr: list[BaseException] = []
 
@@ -1028,6 +1035,7 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
             # with error teardown (round-5 ADVICE)
             tt.join()
             st.join()
+            terms_src.unpersist()
         if _terr:
             raise _terr[0]
         if "err" in _stats:

@@ -89,37 +89,89 @@ def generate_pages(n_rows: int, seed: int = FIXTURE_SEED,
     offsets = np.concatenate([[0], np.cumsum(words_per_row)])
 
     lo, hi = row_range if row_range is not None else (0, n_rows)
-    rows = []
-    for i in range(lo, hi):
-        pos = int(offsets[i])
-        title = " ".join(all_words[pos:pos + title_lens[i]])
-        pos += int(title_lens[i])
-        paras = []
-        for j in range(n_paras[i]):
-            k = int(para_lens[i, j])
-            paras.append(" ".join(all_words[pos:pos + k]))
-            pos += k
-        body = "".join(f"<p>{p}</p>" for p in paras)
-        html = (
-            f"<html><head><title>{title}</title>"
-            f"<style>body {{margin: 0}}</style></head>"
-            f"<body><h1>{title}</h1>{body}"
-            f"<script>var x = 1 &amp;&amp; 2;</script>"
-            f"</body></html>"
-        ).encode("utf-8")
-        if corrupt[i]:
-            # invalid UTF-8 + unclosed tag, per FIXTURES.md §1
-            html = html.replace(b"</body></html>", b"<div class=\xff\xfe>tail text")
-        gi = start_index + i
-        url = f"https://site{sites[i]:04d}.example/p{gi:08d}"
-        rows.append((
-            url,
-            _EPOCH + dt.timedelta(seconds=int(gi) * 137),
-            html,
-            extract_text(html),
-            str(langs[i]),
-        ))
-    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    # --- vectorized row assembly (r06 session 3, guide §4.2) ---
+    # The per-row loop (str.join per title/para + 3 regex passes of
+    # extract_text per page) was ~75% of generation compute.  The word
+    # joins now run as pyarrow C++ kernels over ONE flat word array, and
+    # `text` is constructed directly: for this generator's pinned HTML
+    # shape, extract_text provably reduces to
+    # "title title para1 .. paraK[ tail text]" (title appears in <title>
+    # and <h1>; script/style dropped; every tag → space; words are
+    # [a-z0-9]+ so no entities; single-spaced) — byte-identity with
+    # extract_text is pinned by
+    # tests/test_round6_opt.py::test_generate_pages_text_matches_extract
+    # and the emitted frame by the existing slice/dist protocol tests.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n_out = hi - lo
+    if n_out <= 0:
+        return pd.DataFrame(
+            columns=["url", "warc_ts", "html", "text", "lang"])
+    tl = title_lens[lo:hi].astype(np.int64)
+    np_sl = n_paras[lo:hi].astype(np.int64)
+    pl = para_lens[lo:hi].astype(np.int64)
+    pl_act = np.where(np.arange(3)[None, :] < np_sl[:, None], pl, 0)
+    row_start = offsets[lo:hi].astype(np.int64)
+
+    def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        tot = int(lens.sum())
+        rep = np.repeat(np.arange(len(lens)), lens)
+        return (np.repeat(starts, lens) + np.arange(tot)
+                - np.repeat(np.cumsum(lens) - lens, lens)), rep, tot
+
+    words_pa = pa.array(all_words)
+    # titles: words[row_start .. row_start+tl)
+    t_idx, _, _ = _ranges(row_start, tl)
+    titles = pc.binary_join(
+        pa.ListArray.from_arrays(
+            np.concatenate(([0], np.cumsum(tl))).astype(np.int32),
+            words_pa.take(pa.array(t_idx))), " ")
+    # paragraphs: flat (row, para) lens with their word-range starts
+    p_starts = (row_start[:, None] + tl[:, None]
+                + np.concatenate([np.zeros((n_out, 1), np.int64),
+                                  np.cumsum(pl_act, axis=1)[:, :2]], axis=1))
+    keep = pl_act > 0
+    pflat_lens = pl_act[keep]
+    pflat_starts = p_starts[keep]
+    pw_idx, _, _ = _ranges(pflat_starts, pflat_lens)
+    para_txt = pc.binary_join(
+        pa.ListArray.from_arrays(
+            np.concatenate(([0], np.cumsum(pflat_lens))).astype(np.int32),
+            words_pa.take(pa.array(pw_idx))), " ")
+    wrapped = pc.binary_join_element_wise("<p>", para_txt, "</p>", "")
+    para_list_off = np.concatenate(
+        ([0], np.cumsum(np_sl))).astype(np.int32)
+    body = pc.binary_join(
+        pa.ListArray.from_arrays(para_list_off, wrapped), "")
+    body_txt = pc.binary_join(
+        pa.ListArray.from_arrays(para_list_off, para_txt), " ")
+    html_str = pc.binary_join_element_wise(
+        "<html><head><title>", titles,
+        "</title><style>body {margin: 0}</style></head><body><h1>",
+        titles, "</h1>", body,
+        "<script>var x = 1 &amp;&amp; 2;</script></body></html>", "")
+    text_str = pc.binary_join_element_wise(
+        titles, titles, body_txt, " ")
+    htmls = html_str.cast(pa.binary()).to_pandas().to_numpy(object)
+    texts = text_str.to_pandas().to_numpy(object)
+    # 1% corruption: invalid UTF-8 + unclosed tag, per FIXTURES.md §1
+    for i in np.flatnonzero(corrupt[lo:hi]):
+        htmls[i] = htmls[i].replace(
+            b"</body></html>", b"<div class=\xff\xfe>tail text")
+        texts[i] = texts[i] + " tail text"
+    gis = start_index + np.arange(lo, hi, dtype=np.int64)
+    urls = [f"https://site{s:04d}.example/p{g:08d}"
+            for s, g in zip(sites[lo:hi], gis)]
+    ts = pd.Series(
+        np.datetime64(_EPOCH) + gis * np.timedelta64(137, "s"),
+        dtype="datetime64[ns]")
+    return pd.DataFrame({
+        "url": urls,
+        "warc_ts": ts,
+        "html": htmls,
+        "text": texts,
+        "lang": langs[lo:hi].astype(object),
+    })
 
 
 def pages_schema():

@@ -41,11 +41,58 @@ EXACT_DUP_SQL = (
     "HAVING COUNT(*) > 1 ORDER BY digest")
 
 
+def _shingle_batches(batches):
+    """Arrow shingling kernel: (doc_id, text) record batches →
+    (doc_id, shingle) word-3-gram rows.
+
+    Replaces the `transform(sequence(...), i -> concat_ws(' ',
+    slice(words, i+1, 3)))` expression chain: Spark executes
+    higher-order-function lambdas INTERPRETED per element, measured at
+    ~22µs per shingle — the dominant cost of every minhash-family query
+    (r06 session 3, guide §1.2 step 2 / §4.2).  Here the flat word
+    array stays in Arrow C++ memory: lower + literal-space split are
+    compute kernels, the three shingle word slots are `take`s of the
+    SAME flattened word buffer at offsets (i, i+1, i+2), and the join
+    is one vectorized binary_join_element_wise — no per-row Python, no
+    per-element lambda.  Split semantics match F.split(lower(text), " ")
+    exactly (literal separator, empty strings kept), so the shingle
+    multiset is identical — pinned by
+    tests/test_round6_opt.py::test_shingle_kernel_equivalence.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        words = pc.split_pattern(pc.utf8_lower(batch.column("text")), " ")
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = np.diff(offs)
+        cnt = np.where(nw >= SHINGLE_N, nw - SHINGLE_N + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        doc_rep = np.repeat(np.arange(len(cnt)), cnt)
+        starts = (np.repeat(offs[:-1], cnt)
+                  + np.arange(total)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        v = words.values
+        sh = pc.binary_join_element_wise(
+            v.take(pa.array(starts)), v.take(pa.array(starts + 1)),
+            v.take(pa.array(starts + 2)), " ")
+        ids = batch.column("doc_id").to_numpy()[doc_rep]
+        yield pa.record_batch(
+            [pa.array(ids, pa.int64()), sh], names=["doc_id", "shingle"])
+
+
 def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) word-3-gram shingles, whitespace split.
 
     Split rule is plain single-space (matching DuckDB string_split) so
     the oracle is exact; documents fixture text is single-spaced.
+    Shingling runs in the Arrow kernel above (docs with < SHINGLE_N
+    words drop out inside it, exactly like the old `size(words) >= 3`
+    filter).
 
     distinct=False skips the per-(doc, shingle) dedup Exchange for
     consumers whose aggregation is duplicate-insensitive (MinHash's
@@ -53,13 +100,8 @@ def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     shuffle of every shingle string feeding an agg whose result it
     could not change, and it blocked map-side partial aggregation).
     """
-    words = F.split(F.lower(F.col("text")), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(-1)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_N)))
-    out = (docs.filter(n >= SHINGLE_N)
-           .select("doc_id", F.explode(sh).alias("shingle")))
+    out = (docs.select("doc_id", "text")
+           .mapInArrow(_shingle_batches, "doc_id long, shingle string"))
     return out.distinct() if distinct else out
 
 

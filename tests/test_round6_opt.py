@@ -285,3 +285,54 @@ def test_simhash_bitsum_count_identity(spark):
     n = {r["doc_id"]: [2 * r[f"s{j}"] - r["n"] for j in range(bits)]
          for r in new.collect()}
     assert o == n
+
+
+def test_shingle_kernel_equivalence(spark):
+    """The Arrow shingling kernel (r06 session 3) emits exactly the
+    shingle multiset of the old `transform(sequence, i -> concat_ws(' ',
+    slice(words, i+1, 3)))` expression chain — including the < SHINGLE_N
+    word drop, empty tokens from repeated separators, trailing-empty
+    split semantics, and unicode lowercasing."""
+    from pyspark.sql import functions as F
+
+    from oscar_spark.operators.dedup import SHINGLE_N, _shingles
+
+    rows = [
+        (0, "batch part spark line column order"),
+        (1, "a b"),                       # < 3 words: dropped
+        (2, ""),                          # splits to [""]: dropped
+        (3, "one  two   three four"),     # repeated separators -> empties
+        (4, "tail space x "),             # trailing empty kept by split
+        (5, "UPPER Case MiXeD words"),    # lowercased before split
+        (6, "École Über straße wörter"),  # unicode lower
+        (7, "x y z"),                     # exactly SHINGLE_N words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple,
+                     _shingles(docs, distinct=False).collect()))
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_N)))
+    want = sorted(map(tuple,
+                      docs.filter(n >= SHINGLE_N)
+                      .select("doc_id", F.explode(sh).alias("shingle"))
+                      .collect()))
+    assert got == want
+    # distinct form agrees too
+    got_d = sorted(map(tuple, _shingles(docs).collect()))
+    assert got_d == sorted(set(want))
+
+
+def test_generate_pages_text_matches_extract():
+    """The r06 direct text construction (title title paras [tail text])
+    is byte-identical to extract_text(html) for every generated page —
+    including the 1% corrupted rows (invalid UTF-8 + unclosed tag)."""
+    from oscar_spark.fixtures.pages import generate_pages
+    from oscar_spark.functions.extract import extract_text
+    df = generate_pages(4000, seed=42)
+    n_corrupt = sum(1 for h in df.html if b"\xff" in h)
+    assert n_corrupt > 0  # the corruption branch is exercised
+    for h, t in zip(df.html, df.text):
+        assert extract_text(h) == t
