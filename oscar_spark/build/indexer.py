@@ -384,40 +384,68 @@ _FINAL_COLS = ["bucket", "term", "block_id", "range_id", "first_doc",
 def _final_blocks(spark: SparkSession, tokens: DataFrame,
                   doc_stats: DataFrame, n_ids: int, n_corpus: int,
                   avgdl: float, codec: str,
-                  positions: bool = False) -> DataFrame:
+                  positions: bool = False,
+                  urls_closed: bool = False) -> DataFrame:
     """tokens + doc ids → finalized posting-block DataFrame.
 
     Shared by the full build (n_ids == n_corpus) and the incremental
     append, which runs it over the NEW segment's tokens/doc ids only
     (n_ids = new docs, sizing the join; n_corpus/avgdl = whole corpus,
     feeding the stored max_score diagnostic).
+
+    urls_closed: the caller guarantees every token url appears in
+    doc_stats (true for the full build, whose doc_stats derives from
+    the same token table; FALSE for the append path, which relies on
+    the inner join dropping re-crawled urls' orphan tokens).  Only a
+    closed caller may take the hashed-probe join below.
     """
     doc_ids = doc_stats.select("url", "doc_id")
+    hash_probe = False
     if n_ids <= BROADCAST_DOCID_MAX:
         # url→doc_id fits comfortably in a broadcast: the big token
-        # table then shuffles ONCE (by term,range) instead of twice
-        doc_ids = F.broadcast(doc_ids)
+        # table then shuffles ONCE (by term,range) instead of twice.
+        # r06 session 3 (guide §2.3 "narrower types" applied to the
+        # join key): probing a LONG-keyed map beats hashing + equality
+        # on ~55-byte url strings per posting row (A/B at 100k pages:
+        # join phase 0.83s → 0.24s wall).  EXACT under two conditions,
+        # both enforced: (1) the doc-side xxhash64(url) values are
+        # distinct — checked below with one column-pruned aggregate
+        # over the slim doc_stats table (collision ⇒ fall back to the
+        # string join, so correctness never rests on probability);
+        # (2) token urls ⊆ doc urls (urls_closed) — otherwise an
+        # orphan token url could hash-collide into a WRONG doc_id
+        # instead of being dropped, so open callers (append) keep the
+        # string join.
+        if urls_closed:
+            r = doc_stats.select(
+                F.countDistinct(F.xxhash64("url")).alias("h"),
+                F.count("*").alias("n")).collect()[0]
+            hash_probe = int(r["h"]) == int(r["n"])
+        doc_ids = F.broadcast(
+            doc_stats.select(F.xxhash64("url").alias("_uh"), "doc_id")
+            if hash_probe else doc_ids)
     # else: plain shuffle join; at 10^12 docs the doc_id map is
     # itself big, and AQE picks the join strategy
     cols = ["term", "doc_id", "tf", "dl"] + \
         (["pos"] if positions else [])
-    postings_raw = (
-        tokens.filter(F.col("term").isNotNull())
-        .join(doc_ids, "url")
-        # url is join-only: drop it BEFORE the big shuffle (its ~55
-        # string bytes per posting row would be over half the
-        # shuffle/Arrow traffic).  The short term string stays — see
-        # the BLOCKS_SCHEMA note for why no term dictionary.  A
-        # positional build additionally carries each posting's position
-        # list (~Σtf int32s — the inherent cost of a positional index).
-        # r06: range_id is NOT carried as a shuffle column — it is
-        # doc_id // RANGE_SIZE, so the partitioner hashes the derived
-        # EXPRESSION (identical partition assignment) and the encoder
-        # recomputes it per unit with one numpy divide; 8 bytes/row less
-        # through the shuffle AND the Arrow boundary (guide §2.3
-        # "shuffle fewer bytes").
-        .select(*cols)
-    )
+    # url is join-only: drop it BEFORE the big shuffle (its ~55
+    # string bytes per posting row would be over half the
+    # shuffle/Arrow traffic).  The short term string stays — see
+    # the BLOCKS_SCHEMA note for why no term dictionary.  A
+    # positional build additionally carries each posting's position
+    # list (~Σtf int32s — the inherent cost of a positional index).
+    # r06: range_id is NOT carried as a shuffle column — it is
+    # doc_id // RANGE_SIZE, so the partitioner hashes the derived
+    # EXPRESSION (identical partition assignment) and the encoder
+    # recomputes it per unit with one numpy divide; 8 bytes/row less
+    # through the shuffle AND the Arrow boundary (guide §2.3
+    # "shuffle fewer bytes").
+    nn = tokens.filter(F.col("term").isNotNull())
+    if hash_probe:
+        postings_raw = (nn.withColumn("_uh", F.xxhash64("url"))
+                        .join(doc_ids, "_uh").select(*cols))
+    else:
+        postings_raw = nn.join(doc_ids, "url").select(*cols)
     range_expr = (F.col("doc_id") / F.lit(RANGE_SIZE)).cast("long")
     # the one big shuffle: hash-partition by (term, range_id), sort
     # within partitions — Spark's shuffle-with-spill is the external
@@ -922,7 +950,8 @@ def _build_index_impl(spark: SparkSession, pages: DataFrame,
         resumed.append("postings")
     else:
         final_blocks = _final_blocks(spark, tokens, doc_stats, n_docs,
-                                     n_docs, avgdl, codec, positions)
+                                     n_docs, avgdl, codec, positions,
+                                     urls_closed=True)
         if dedup_payloads:
             # A7: store-wide posting-payload dedup (ItemIndexFactory,
             # reference/oscar-create/oscarcreate.cpp:74,100-115 — one

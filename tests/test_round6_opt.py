@@ -336,3 +336,26 @@ def test_generate_pages_text_matches_extract():
     assert n_corrupt > 0  # the corruption branch is exercised
     for h, t in zip(df.html, df.text):
         assert extract_text(h) == t
+
+
+def test_hash_probe_join_blocks_identical(spark, built_index):
+    """The hashed-probe doc_id join (urls_closed=True fast path) emits
+    exactly the posting blocks of the plain url string join."""
+    from oscar_spark.build import indexer
+    from oscar_spark.sources.tables import IndexStore
+
+    d, res = built_index
+    store = IndexStore(d)
+    tokens = store.read(spark, "tokens")
+    doc_stats = store.read(spark, "doc_stats")
+    kw = dict(n_ids=res.n_docs, n_corpus=res.n_docs, avgdl=res.avgdl,
+              codec="varint", positions=True)
+    fast = indexer._final_blocks(spark, tokens, doc_stats,
+                                 urls_closed=True, **kw)
+    slow = indexer._final_blocks(spark, tokens, doc_stats,
+                                 urls_closed=False, **kw)
+    cols = ["bucket", "term", "block_id", "range_id", "first_doc",
+            "last_doc", "doc_count", "max_tf", "min_dl", "payload"]
+    a = sorted(map(tuple, fast.select(*cols).collect()))
+    b = sorted(map(tuple, slow.select(*cols).collect()))
+    assert a == b and len(a) > 0
