@@ -225,6 +225,21 @@ class SearchEngine:
             self.store.read(spark, "terms_ngram")
             if _os.path.isdir(self.store.path("terms_ngram")) else None)
         self._brute_cache: DataFrame | None = None
+        # r06 session 3: bounded driver-side postings-block cache for
+        # the driver-local scoring path — the serving analog of oscar
+        # keeping its index mmap'd+mlocked in the server process (S7,
+        # reference/oscar-cmd/Workfunctions.cpp:781-820): a term's
+        # (pruned, ≤PRUNE_MIN_POSTINGS) payload blocks are fetched from
+        # the store ONCE per engine and re-scored from process memory on
+        # every later query that touches the term — scoring still runs
+        # in full each time; only the block FETCH job is saved.  LRU by
+        # payload bytes, capped at BLOCK_CACHE_MAX_BYTES; released by
+        # drop_memory() with everything else.  Engine instances bind a
+        # store snapshot at construction (self.postings), so the cache
+        # can never outlive the snapshot it mirrors.
+        from collections import OrderedDict
+        self._block_cache: OrderedDict[str, list] = OrderedDict()
+        self._block_cache_bytes = 0
         self._timer: _StageTimer | None = None
         self.last_stage_times: dict[str, float] | None = None
         # term-dictionary preload, memoized PER STORE SNAPSHOT at module
@@ -281,6 +296,8 @@ class SearchEngine:
                          "grams": None}
         self._term_df = self._term_sorted = None
         self._term_sorted_rev = self._term_grams = None
+        self._block_cache.clear()
+        self._block_cache_bytes = 0
 
     def _release_brute_cache(self) -> None:
         if self._brute_cache is not None:
@@ -486,6 +503,60 @@ class SearchEngine:
         return blocks.groupBy("range_id").applyInPandas(
             lambda key, pdf: kernel(pdf), "doc_id long, score double")
 
+    BLOCK_CACHE_MAX_BYTES = 64 << 20  # driver-local payload cache cap
+
+    def _fetch_blocks_local(self, terms: list[str]) -> pd.DataFrame:
+        """Collected (term, range_id, doc_count, payload) block rows for
+        the driver-local path, through the engine's bounded LRU block
+        cache: terms already resident cost no Spark job; the missing
+        ones are fetched in ONE bucket+term-pruned job.  Assembly order
+        is irrelevant downstream — _score_pdf pins its own (term,
+        range_id) sort before any float accumulation."""
+        # dedupe (order-preserving): the old isin() fetch was set-
+        # semantic, so a repeated term must not contribute twice
+        terms = list(dict.fromkeys(terms))
+        missing = [t for t in terms if t not in self._block_cache]
+        if missing:
+            rows = (self._blocks(missing, meta_only=False)
+                    .select("term", "range_id", "doc_count", "payload")
+                    .collect())
+            by_term: dict[str, list] = {t: [] for t in missing}
+            for r in rows:
+                by_term[r["term"]].append(
+                    (int(r["range_id"]), int(r["doc_count"]),
+                     bytes(r["payload"])))
+            for t in missing:
+                blks = by_term[t]
+                nb = sum(len(p) for _, _, p in blks)
+                # a term larger than the whole cap is served uncached
+                # rather than evicting everything else
+                if nb > self.BLOCK_CACHE_MAX_BYTES:
+                    continue
+                while (self._block_cache_bytes + nb
+                       > self.BLOCK_CACHE_MAX_BYTES and self._block_cache):
+                    _, old = self._block_cache.popitem(last=False)
+                    self._block_cache_bytes -= sum(
+                        len(p) for _, _, p in old)
+                self._block_cache[t] = blks
+                self._block_cache_bytes += nb
+            got = by_term
+        else:
+            got = {}
+        cols: dict[str, list] = {"term": [], "range_id": [],
+                                 "doc_count": [], "payload": []}
+        for t in terms:
+            if t in self._block_cache:
+                self._block_cache.move_to_end(t)  # LRU touch
+                blks = self._block_cache[t]
+            else:
+                blks = got.get(t, [])
+            for rid, dc, p in blks:
+                cols["term"].append(t)
+                cols["range_id"].append(rid)
+                cols["doc_count"].append(dc)
+                cols["payload"].append(p)
+        return pd.DataFrame(cols)
+
     def _score_local(self, present: list[str], dfmap: dict[str, int],
                      require_all: int | None, k: int) -> DataFrame:
         """Driver-side scoring for SMALL candidate sets: collect the
@@ -498,14 +569,7 @@ class SearchEngine:
         milliseconds.  Same kernel as _score_ranges (global unique-sum
         is correct because doc ids are distinct across ranges), so the
         two paths are value-identical by construction."""
-        rows = (self._blocks(present, meta_only=False)
-                .select("term", "range_id", "doc_count", "payload")
-                .collect())
-        pdf = pd.DataFrame({
-            "term": [r["term"] for r in rows],
-            "range_id": [r["range_id"] for r in rows],
-            "doc_count": [r["doc_count"] for r in rows],
-            "payload": [r["payload"] for r in rows]})
+        pdf = self._fetch_blocks_local(present)
         out = _score_pdf(pdf, self._decode, dfmap, float(self.n_docs),
                          float(self.avgdl), require_all, local_k=k)
         # r06b: finish the sort + k-cut here in numpy — (score desc,

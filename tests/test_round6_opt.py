@@ -359,3 +359,28 @@ def test_hash_probe_join_blocks_identical(spark, built_index):
     a = sorted(map(tuple, fast.select(*cols).collect()))
     b = sorted(map(tuple, slow.select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_block_cache_warm_repeat_zero_jobs(spark, built_index):
+    """Driver-local serving through the block cache: a repeated query
+    returns identical results with ZERO Spark jobs (the S7 mlock
+    analog — blocks re-scored from process memory), and drop_memory
+    releases the cache."""
+    from oscar_spark.serve.executor import SearchEngine
+
+    d, _ = built_index
+    eng = SearchEngine(spark, d)
+    q = "city + state"
+    first = eng.search(q, k=10)
+    assert first, "fixture query should match docs"
+    assert eng._block_cache_bytes > 0
+    sc = spark.sparkContext
+    sc.setJobGroup("warmrepeat", "block cache warm repeat")
+    second = eng.search(q, k=10)
+    sc.setJobGroup(None, None)
+    assert second == first
+    jobs = sc.statusTracker().getJobIdsForGroup("warmrepeat")
+    assert len(jobs) == 0, f"expected 0 jobs on warm repeat, got {jobs}"
+    eng.drop_memory()
+    assert eng._block_cache_bytes == 0 and not eng._block_cache
+    assert eng.search(q, k=10) == first  # refetch path still identical
