@@ -879,9 +879,22 @@ class SearchEngine:
                       .groupBy("doc_id").agg(F.sum("score").alias("score")))
         return result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    # below this many candidate postings, two-phase pruning costs more
-    # in job round-trips than the decode it saves — score everything
-    PRUNE_MIN_POSTINGS = 100_000
+    # Below this many candidate postings the driver-local path wins:
+    # numpy decodes ~50M postings/s in-process, so a query only
+    # amortizes the pruned path's 2-4 Spark job round-trips (~0.1-0.15s
+    # each) once its candidate set reaches millions of postings.
+    # Measured crossover on the 100k-page bench index (r06 session 3):
+    # df≈100k query "the" = 0.23-0.28s driver-local (uncached) vs
+    # 0.49-0.65s two-phase pruned — the old 100_000 threshold sat far
+    # below the true break-even.  2M postings decode to ~40 MB of
+    # driver arrays (bounded, ~4-8 MB fetched payload) — well inside a
+    # serving process's budget; at web scale head terms exceed this and
+    # take the distributed pruned path as before.  Env-overridable for
+    # deployments with different driver budgets (not a local[32]
+    # constant: the crossover is job-latency vs decode throughput,
+    # both cluster properties).
+    PRUNE_MIN_POSTINGS = int(__import__("os").environ.get(
+        "OSCAR_PRUNE_MIN_POSTINGS", 2_000_000))
 
     def _search_pruned(self, terms, dfmap, shape, k) -> DataFrame:
         present = [t for t in terms if dfmap.get(t, 0) > 0]
