@@ -1115,14 +1115,12 @@ class SearchEngine:
                 plans.append((q, "fallback", None))
         shared: pd.DataFrame | None = None
         if union_terms:
-            rows = (self._blocks(list(union_terms), meta_only=False)
-                    .select("term", "range_id", "doc_count", "payload")
-                    .collect())
-            shared = pd.DataFrame({
-                "term": [r["term"] for r in rows],
-                "range_id": [r["range_id"] for r in rows],
-                "doc_count": [r["doc_count"] for r in rows],
-                "payload": [r["payload"] for r in rows]})
+            # through the engine block cache (r06 session 3): terms
+            # already resident cost nothing; the missing ones still
+            # share ONE bucket+term-pruned fetch job — a fully warm
+            # batch is zero-job (pinned by
+            # test_search_many_single_fetch_job)
+            shared = self._fetch_blocks_local(list(union_terms))
         out: list[list[tuple[int, float]]] = []
         for q, kind, payload in plans:
             if kind == "empty":

@@ -307,14 +307,23 @@ def test_search_many_single_fetch_job(spark, built_index):
     d, _ = built_index
     eng = SearchEngine(spark, d)
     queries = ["the", "of and", "city state", "war history"]
-    eng.search_many(queries, k=5)  # warm any lazy init
+    eng.search_many(queries, k=5)  # warm any lazy init + block cache
     sc = spark.sparkContext
+    # r06: a fully warm batch is CACHE-resident — zero fetch jobs
     sc.setJobGroup("batchjob", "search_many job count")
     batch = eng.search_many(queries, k=5)
     sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup("batchjob")
-    assert len(jobs) == 1, f"expected 1 shared fetch job, got {len(jobs)}"
-    assert batch == [eng.search(q, k=5) for q in queries]
+    assert len(jobs) == 0, f"expected 0 jobs on warm batch, got {jobs}"
+    # cold block cache: every eligible query still shares ONE fetch job
+    eng._block_cache.clear()
+    eng._block_cache_bytes = 0
+    sc.setJobGroup("batchjob2", "search_many cold job count")
+    batch2 = eng.search_many(queries, k=5)
+    sc.setJobGroup(None, None)
+    jobs2 = sc.statusTracker().getJobIdsForGroup("batchjob2")
+    assert len(jobs2) == 1, f"expected 1 shared fetch job, got {jobs2}"
+    assert batch == batch2 == [eng.search(q, k=5) for q in queries]
 
 
 # ---- Iceberg catalog smoke (round-4 verdict #7): runs for real when a
