@@ -105,7 +105,7 @@ def main() -> int:
                            300, 300, 50.0, "varint")
         check("index build postings pipeline (no single-partition stage)",
               fb,
-              expect_all=[r"ArrowEvalPython|MapInPandas|mapInPandas",
+              expect_all=[r"ArrowEvalPython|MapInPandas|MapInArrow|mapInPandas",
                           r"Window.*partitionBy|windowspecdefinition\(bucket"],
               expect_none=[r"Exchange SinglePartition"])
 
@@ -117,7 +117,7 @@ def main() -> int:
                             300, 300, 50.0, "varint", positions=True)
         check("positional build pipeline (positions add no exchange)",
               fbp,
-              expect_all=[r"ArrowEvalPython|MapInPandas|mapInPandas"],
+              expect_all=[r"ArrowEvalPython|MapInPandas|MapInArrow|mapInPandas"],
               expect_none=[r"Exchange SinglePartition"])
 
         # 9. IVF probe fetch over a materialized index is a
